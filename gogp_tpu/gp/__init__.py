@@ -1,0 +1,10 @@
+from gogp_tpu.gp.core import (  # noqa: F401
+    GP,
+    Posterior,
+    absorb,
+    lml,
+    lml_from_posterior,
+    predict,
+    predict_from_posterior,
+    predict_prior,
+)

@@ -1,0 +1,194 @@
+"""GP core: covariance assembly, log marginal likelihood, prediction.
+
+Functional counterpart of reference gp/gp.go.  The reference's mutable ``GP``
+struct with cached Cholesky state (gp/gp.go:20-38) becomes:
+
+- an immutable :class:`GP` *spec* (dimensions + kernels), and
+- an immutable :class:`Posterior` pytree (theta, X, y, L, alpha) — the
+  explicit version of the reference's "Produce works off stored fields"
+  contract (gp/gp.go:255-257), trivially checkpointable.
+
+Everything is pure and jit/vmap/grad-safe.  The analytic gradient machinery
+of gp/gp.go:418-499 (per-theta dK matrices, trace identities) does not exist
+here — ``jax.grad`` of :func:`lml` computes the same thing via one reverse
+pass through Cholesky, turning the reference's O(p·n³) gradient loop into
+O(n³ + p·n²).
+
+Padding/masking: all shapes are static.  A boolean/0-1 ``mask`` marks which
+of the n rows are real observations; padded rows contribute identity
+rows/cols to K and zeros to y, so LML, gradients and predictions are exactly
+those of the unpadded problem.  This is what lets the rolling-forecast loop
+(reference tutorial/tutorial.go:91: one refit per prefix length, serially)
+compile once and vmap over all prefix lengths at once on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gogp_tpu.kernels.base import Kernel, NoiseKernel
+from gogp_tpu.kernels.noise import constant_noise
+from gogp_tpu.ops import linalg
+
+Array = jax.Array
+
+_LOG_2PI = 1.8378770664093453
+
+# Default noise std, present for numerical stability; zero it by passing
+# constant_noise(0.) explicitly — reference gp/gp.go:40-47 (nonoise = 1e-5,
+# squared to variance 1e-10 by kernel/noise.go:27-30).
+DEFAULT_NOISE_STD = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class GP:
+    """GP spec: input dimensionality + similarity and noise kernels.
+
+    Mirrors the configuration part of the reference GP struct
+    (gp/gp.go:20-27); data and cached factors live in :class:`Posterior`.
+    """
+
+    ndim: int
+    simil: Kernel
+    noise: NoiseKernel | None = None
+
+    def __post_init__(self):
+        if self.noise is None:
+            object.__setattr__(self, "noise", constant_noise(DEFAULT_NOISE_STD))
+
+    @property
+    def n_theta_simil(self) -> int:
+        return self.simil.n_theta
+
+    @property
+    def n_theta_noise(self) -> int:
+        return self.noise.n_theta
+
+    @property
+    def n_theta(self) -> int:
+        return self.simil.n_theta + self.noise.n_theta
+
+
+class Posterior(NamedTuple):
+    """Immutable fitted-GP state: everything ``predict`` needs.
+
+    The explicit pytree form of the reference's cached fields
+    ThetaSimil/ThetaNoise/X/L/Alpha (gp/gp.go:24-37, contract at :255-257).
+    Orbax-checkpointable as-is.
+    """
+
+    theta_simil: Array  # (n_theta_simil,) natural scale
+    theta_noise: Array  # (n_theta_noise,) natural scale
+    x: Array  # (n, ndim)
+    y: Array  # (n,)
+    chol: Array  # (n, n) lower Cholesky factor of K
+    alpha: Array  # (n,) K^{-1} y
+    mask: Array  # (n,) 1.0 for real observations, 0.0 for padding
+
+
+def _as_xy(gp: GP, x, y):
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = jnp.asarray(y)
+    return x, y
+
+
+def masked_cov(gp: GP, theta_simil, theta_noise, x: Array, mask: Array | None) -> Array:
+    """Covariance matrix with noise on the diagonal (gp/gp.go:106-156).
+
+    K[i,j] = simil(theta_s, x_i, x_j) + delta_ij * noise(theta_n, x_j).
+    Padded rows/cols are replaced by identity rows so downstream Cholesky /
+    solves behave as if they weren't there.
+    """
+    k = gp.simil.matrix(theta_simil, x, x)
+    k = k + jnp.diag(gp.noise.vector(theta_noise, x))
+    if mask is not None:
+        m = mask.astype(k.dtype)
+        outer = m[:, None] * m[None, :]
+        k = k * outer + jnp.diag(1.0 - m)
+    return k
+
+
+def absorb(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Posterior:
+    """Factorize K and solve for alpha — reference ``Absorb``/``absorb``
+    (gp/gp.go:80-241) without the gradient side-channel (jax.grad replaces it).
+    """
+    x, y = _as_xy(gp, x, y)
+    n = x.shape[0]
+    theta_simil = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    theta_noise = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    if mask is None:
+        mask = jnp.ones((n,), dtype=x.dtype)
+    else:
+        mask = jnp.asarray(mask, dtype=x.dtype)
+    y = y * mask
+    K = masked_cov(gp, theta_simil, theta_noise, x, mask)
+    L = linalg.cholesky(K)
+    alpha = linalg.cho_solve_vec(L, y)
+    return Posterior(theta_simil, theta_noise, x, y, L, alpha, mask)
+
+
+def lml_from_posterior(post: Posterior) -> Array:
+    """GPML eq. 5.8 — reference ``LML`` (gp/gp.go:244-253):
+    L = -(n/2) log 2pi - 1/2 log|K| - 1/2 y^T alpha; 0 with no data."""
+    n_eff = jnp.sum(post.mask)
+    logdet = linalg.logdet_from_chol(post.chol, post.mask)
+    quad = jnp.dot(post.y, post.alpha)
+    return -0.5 * (n_eff * _LOG_2PI + logdet + quad)
+
+
+def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Array:
+    """Log marginal likelihood at natural-scale hyperparameters."""
+    return lml_from_posterior(absorb(gp, theta_simil, theta_noise, x, y, mask))
+
+
+def predict_from_posterior(gp: GP, post: Posterior, z) -> tuple[Array, Array]:
+    """Posterior mean and std at test inputs ``z`` — reference ``Produce``
+    (gp/gp.go:258-360), with its exact semantics:
+
+    - prior variance from the similarity kernel only, *no noise added*
+      (gp/gp.go:270-278): predictive bands are for the noise-free latent f;
+    - mu = Kstar^T alpha (:335);
+    - sigma_i = sqrt(k(z_i,z_i) - [Kstar^T K^{-1} Kstar]_ii) (:349-357).
+
+    Where the reference materializes the full m×m predictive covariance and
+    reads its diagonal (:337-342), this computes diag(Kstar^T K^{-1} Kstar)
+    as squared column norms of the single triangular solve L^{-1} Kstar —
+    one TRSM + an elementwise square-reduce that XLA fuses.
+    With no (real) observations: mu = 0, sigma = prior std (:343-347).
+    """
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    prior_var = gp.simil.diag_matrix(post.theta_simil, z)
+    kstar = gp.simil.matrix(post.theta_simil, post.x, z)  # (n, m)
+    kstar = kstar * post.mask[:, None]
+    mu = kstar.T @ post.alpha
+    v = linalg.trsm_lower(post.chol, kstar)  # (n, m)
+    cov_diag = jnp.sum(v * v, axis=0)
+    var = prior_var - cov_diag
+    # Exact arithmetic keeps var >= 0; clamp float error so interpolation at
+    # observed points (golden case "self", gp/gp_test.go:38-49) yields 0.
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    return mu, sigma
+
+
+def predict(gp: GP, theta_simil, theta_noise, x, y, z, mask=None) -> tuple[Array, Array]:
+    """Fit-and-predict convenience: absorb then predict."""
+    post = absorb(gp, theta_simil, theta_noise, x, y, mask)
+    return predict_from_posterior(gp, post, z)
+
+
+def predict_prior(gp: GP, theta_simil, z) -> tuple[Array, Array]:
+    """Prediction with no observations: mu = 0, sigma = prior std
+    (reference gp/gp.go:343-347 zero path)."""
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    prior_var = gp.simil.diag_matrix(jnp.asarray(theta_simil), z)
+    return jnp.zeros(z.shape[0], dtype=prior_var.dtype), jnp.sqrt(prior_var)

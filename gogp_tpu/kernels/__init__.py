@@ -1,0 +1,16 @@
+from gogp_tpu.kernels.base import Kernel, NoiseKernel  # noqa: F401
+from gogp_tpu.kernels.noise import (  # noqa: F401
+    constant_noise,
+    jitter_only_noise,
+    uniform_noise,
+)
+from gogp_tpu.kernels.stationary import (  # noqa: F401
+    SQRT3,
+    SQRT5,
+    matern32,
+    matern52,
+    matern52_ref,
+    normal,
+    periodic,
+    rbf,
+)

@@ -1,0 +1,89 @@
+"""Primitive stationary kernels.
+
+Functional counterparts of reference kernel/kernel.go.  Each built-in takes
+inputs of any dimensionality, reducing pairs through the Euclidean distance
+(for 1-D inputs this is |xa-xb|, matching the reference exactly, which only
+ever sees scalars).
+
+Hyperparameters arrive *already in natural scale* — the exp-transform from
+log scale happens once at the GP parameter boundary (see
+gogp_tpu.models.params, reference gp/gp.go:377-381).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gogp_tpu.kernels.base import Kernel
+
+SQRT3 = 1.7320508075688772  # reference kernel/kernel.go:50
+SQRT5 = 2.2360679774997900  # reference kernel/kernel.go:51
+
+
+def _dist(xa, xb):
+    """Euclidean distance, safe to differentiate at zero.
+
+    sqrt(x) has an infinite derivative at x=0; every stationary kernel below
+    evaluates at xa == xb on the covariance diagonal, so we guard the norm.
+    For 1-D inputs, d = |xa - xb| with subgradient 0 at coincidence, which
+    matches the reference AD's |.| handling of kernel/ad/kernel.go.
+    """
+    diff = xa - xb
+    sq = jnp.sum(diff * diff)
+    # Zero-distance pairs get a zero gradient instead of NaN.
+    safe = jnp.where(sq == 0.0, 1.0, sq)
+    return jnp.where(sq == 0.0, 0.0, jnp.sqrt(safe))
+
+
+def _normal_pair(theta, xa, xb):
+    # exp(-d^2/2), d = |xa-xb|/l — reference kernel/kernel.go:23-26.
+    # No output scale by design; users compose one (kernel/kernel.go comment,
+    # tutorial/barebones/kernel/kernel.go:14-18).
+    diff = (xa - xb) / theta[0]
+    return jnp.exp(-jnp.sum(diff * diff) / 2)
+
+
+normal = Kernel(1, _normal_pair, "normal")
+rbf = normal  # conventional alias
+
+
+def _periodic_pair(theta, xa, xb):
+    # exp(-2 (sin(pi |xa-xb| / p) / l)^2) — reference kernel/kernel.go:44-47.
+    l, p = theta[0], theta[1]
+    d = jnp.sin(jnp.pi * _dist(xa, xb) / p) / l
+    return jnp.exp(-2 * d * d)
+
+
+periodic = Kernel(2, _periodic_pair, "periodic")
+
+
+def _matern32_pair(theta, xa, xb):
+    # (1 + sqrt3 d) exp(-sqrt3 d) — reference kernel/kernel.go:70-73.
+    d = _dist(xa, xb) / theta[0]
+    return (1 + SQRT3 * d) * jnp.exp(-SQRT3 * d)
+
+
+matern32 = Kernel(1, _matern32_pair, "matern32")
+
+
+def _matern52_pair(theta, xa, xb):
+    # Correct Matérn-5/2: (1 + sqrt5 d + (5/3) d^2) exp(-sqrt5 d).
+    d = _dist(xa, xb) / theta[0]
+    return (1 + SQRT5 * d + (5.0 / 3.0) * d * d) * jnp.exp(-SQRT5 * d)
+
+
+matern52 = Kernel(1, _matern52_pair, "matern52")
+
+
+def _matern52_ref_pair(theta, xa, xb):
+    # Reference-compatible Matérn-5/2.  The reference writes ``5/3*d*d``
+    # (kernel/kernel.go:91) but Go integer constant division evaluates the
+    # coefficient to 1 (confirmed in the generated AD, kernel/ad/kernel.go:130),
+    # so the kernel it actually computes is (1 + sqrt5 d + d^2) exp(-sqrt5 d).
+    # Use this variant when bit-matching reference posteriors (all four
+    # Matérn-5/2 tutorials: hyperpriors, warpedtime, anynoise, events).
+    d = _dist(xa, xb) / theta[0]
+    return (1 + SQRT5 * d + d * d) * jnp.exp(-SQRT5 * d)
+
+
+matern52_ref = Kernel(1, _matern52_ref_pair, "matern52_ref")

@@ -1,0 +1,60 @@
+"""Dense linear algebra for the GP core.
+
+Replaces gonum ``mat.Cholesky`` (Factorize gp/gp.go:228, SolveVecTo :233,
+SolveTo :338/:454/:480, LogDet :250).  The default implementations below are
+XLA primitives — they serve both as the CPU/correctness oracle and as the
+fallback path; ``gogp_tpu.ops.cholesky_pallas`` provides the TPU Pallas
+blocked factorization that can be swapped in through the same interface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+Array = jax.Array
+
+
+def cholesky(K: Array) -> Array:
+    """Lower Cholesky factor of an SPD matrix.
+
+    Dispatches to the Pallas blocked kernel on TPU for sizes where it wins
+    (see gogp_tpu.ops.cholesky_pallas.maybe_pallas_cholesky); XLA otherwise.
+    """
+    from gogp_tpu.ops.cholesky_pallas import maybe_pallas_cholesky
+
+    out = maybe_pallas_cholesky(K)
+    if out is not None:
+        return out
+    return jnp.linalg.cholesky(K)
+
+
+def cho_solve_vec(L: Array, y: Array) -> Array:
+    """alpha = K^{-1} y given lower factor L (reference gp/gp.go:232-233)."""
+    z = solve_triangular(L, y, lower=True)
+    return solve_triangular(L, z, lower=True, trans=1)
+
+
+def cho_solve_mat(L: Array, B: Array) -> Array:
+    """K^{-1} B given lower factor L (reference SolveTo call sites)."""
+    Z = solve_triangular(L, B, lower=True)
+    return solve_triangular(L, Z, lower=True, trans=1)
+
+
+def trsm_lower(L: Array, B: Array) -> Array:
+    """L^{-1} B — the half-solve used by fused predictive variance."""
+    return solve_triangular(L, B, lower=True)
+
+
+def logdet_from_chol(L: Array, mask: Array | None = None) -> Array:
+    """log|K| = 2 sum log diag(L) (reference gp/gp.go:250 L.LogDet()).
+
+    With ``mask`` (0/1 per point), padded diagonal entries are excluded —
+    padding contributes L_ii = 1 under the masked-covariance convention of
+    gogp_tpu.gp.core.masked_cov, so this is belt-and-braces exactness.
+    """
+    d = jnp.log(jnp.diagonal(L))
+    if mask is not None:
+        d = d * mask
+    return 2.0 * jnp.sum(d)

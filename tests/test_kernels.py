@@ -1,0 +1,122 @@
+"""Kernel unit tests (the reference leaves kernels untested — SURVEY.md §4.4;
+we test them directly against closed forms)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gogp_tpu.kernels import (
+    SQRT3,
+    SQRT5,
+    constant_noise,
+    jitter_only_noise,
+    matern32,
+    matern52,
+    matern52_ref,
+    normal,
+    periodic,
+    uniform_noise,
+)
+
+
+def k1(kernel, theta, a, b):
+    return float(kernel(jnp.asarray(theta), jnp.asarray([a]), jnp.asarray([b])))
+
+
+def test_normal_closed_form():
+    # exp(-d^2/2), d=(xa-xb)/l — kernel/kernel.go:23-26
+    assert k1(normal, [1.0], 0.0, 0.0) == pytest.approx(1.0)
+    assert k1(normal, [1.0], 0.0, 1.0) == pytest.approx(np.exp(-0.5))
+    assert k1(normal, [2.0], 0.0, 1.0) == pytest.approx(np.exp(-0.125))
+
+
+def test_periodic_closed_form():
+    # exp(-2 (sin(pi|xa-xb|/p)/l)^2) — kernel/kernel.go:44-47
+    l, p = 0.7, 3.0
+    d = np.sin(np.pi * 1.3 / p) / l
+    assert k1(periodic, [l, p], 0.2, 1.5) == pytest.approx(np.exp(-2 * d * d))
+    # exact periodicity
+    assert k1(periodic, [l, p], 0.0, p) == pytest.approx(1.0)
+
+
+def test_matern32_closed_form():
+    d = 1.3 / 0.9
+    want = (1 + SQRT3 * d) * np.exp(-SQRT3 * d)
+    assert k1(matern32, [0.9], 0.2, 1.5) == pytest.approx(want)
+
+
+def test_matern52_variants():
+    d = 1.3 / 0.9
+    want_correct = (1 + SQRT5 * d + 5.0 / 3.0 * d * d) * np.exp(-SQRT5 * d)
+    # the reference's integer-division bug makes the d^2 coefficient 1
+    # (kernel/kernel.go:91, kernel/ad/kernel.go:130)
+    want_ref = (1 + SQRT5 * d + d * d) * np.exp(-SQRT5 * d)
+    assert k1(matern52, [0.9], 0.2, 1.5) == pytest.approx(want_correct)
+    assert k1(matern52_ref, [0.9], 0.2, 1.5) == pytest.approx(want_ref)
+    assert want_correct != pytest.approx(want_ref)
+
+
+def test_kernels_differentiable_at_coincident_points():
+    """d/dtheta of every kernel must be finite at xa == xb (the covariance
+    diagonal hits this on every absorb)."""
+    for k in [normal, periodic, matern32, matern52, matern52_ref]:
+        theta = jnp.ones(k.n_theta)
+        g = jax.grad(lambda t: k(t, jnp.asarray([0.5]), jnp.asarray([0.5])))(theta)
+        assert np.all(np.isfinite(np.asarray(g))), k.name
+
+
+def test_combinators():
+    sk = matern32.scaled()
+    assert sk.n_theta == 2
+    assert k1(sk, [2.5, 0.9], 0.2, 1.5) == pytest.approx(2.5 * k1(matern32, [0.9], 0.2, 1.5))
+
+    both = matern52.scaled() + periodic.scaled()
+    assert both.n_theta == 2 + 3
+    th = [0.5, 1.1, 0.25, 0.7, 3.0]
+    want = 0.5 * k1(matern52, [1.1], 0.2, 1.5) + 0.25 * k1(periodic, [0.7, 3.0], 0.2, 1.5)
+    assert k1(both, th, 0.2, 1.5) == pytest.approx(want)
+
+    prod = matern32 * matern32
+    assert prod.n_theta == 2
+    assert k1(prod, [0.9, 1.3], 0.2, 1.5) == pytest.approx(
+        k1(matern32, [0.9], 0.2, 1.5) * k1(matern32, [1.3], 0.2, 1.5)
+    )
+
+
+def test_matrix_form_matches_pairs():
+    x = jnp.asarray([[0.0], [0.5], [2.0]])
+    z = jnp.asarray([[0.1], [1.0]])
+    K = normal.matrix(jnp.ones(1), x, z)
+    assert K.shape == (3, 2)
+    for i in range(3):
+        for j in range(2):
+            assert float(K[i, j]) == pytest.approx(k1(normal, [1.0], float(x[i, 0]), float(z[j, 0])))
+
+
+def test_noise_kernels():
+    x = jnp.zeros((4, 1))
+    np.testing.assert_allclose(
+        np.asarray(constant_noise(0.1).vector(jnp.zeros(0), x)), 0.01
+    )
+    assert constant_noise(0.1).n_theta == 0
+    np.testing.assert_allclose(
+        np.asarray(uniform_noise.vector(jnp.asarray([0.3]), x)), 0.09
+    )
+    assert uniform_noise.n_theta == 1
+    jo = jitter_only_noise(1e-5)
+    assert jo.n_theta == 1
+    np.testing.assert_allclose(np.asarray(jo.vector(jnp.asarray([9.0]), x)), 1e-5)
+    scaled = uniform_noise.scaled_by(0.01)
+    np.testing.assert_allclose(
+        np.asarray(scaled.vector(jnp.asarray([0.5]), x)), 0.01 * 0.25
+    )
+
+
+def test_multidim_inputs():
+    """Built-ins accept d-dim inputs via Euclidean distance."""
+    xa = jnp.asarray([0.0, 3.0])
+    xb = jnp.asarray([4.0, 0.0])
+    d = 5.0 / 2.0
+    want = (1 + SQRT3 * d) * np.exp(-SQRT3 * d)
+    assert float(matern32(jnp.asarray([2.0]), xa, xb)) == pytest.approx(want)

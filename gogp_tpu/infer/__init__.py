@@ -1,0 +1,48 @@
+"""Inference engines: MLE (Adam/LBFGS), HMC, NUTS, ADVI, SMC + diagnostics.
+
+The reference's inference layer is external (Infergo optimizers/samplers,
+gonum LBFGS — tutorial/tutorial.go:128-169); here it is a first-class
+subsystem per BASELINE.json's north star.
+"""
+
+from gogp_tpu.infer import adapt, diagnostics, mle
+from gogp_tpu.infer.advi import ADVIResult, elbo, run_advi, sample_posterior
+from gogp_tpu.infer.diagnostics import ess, split_rhat
+from gogp_tpu.infer.hmc import (
+    HMCState,
+    IntegratorState,
+    Samples,
+    hmc_transition,
+    init_state,
+    leapfrog,
+    run_hmc,
+)
+from gogp_tpu.infer.mle import OptResult, adam, lbfgs
+from gogp_tpu.infer.nuts import nuts_transition, run_nuts
+from gogp_tpu.infer.smc import SMCResult, run_smc
+
+__all__ = [
+    "ADVIResult",
+    "HMCState",
+    "IntegratorState",
+    "OptResult",
+    "Samples",
+    "SMCResult",
+    "adam",
+    "adapt",
+    "diagnostics",
+    "elbo",
+    "ess",
+    "hmc_transition",
+    "init_state",
+    "lbfgs",
+    "leapfrog",
+    "mle",
+    "nuts_transition",
+    "run_advi",
+    "run_hmc",
+    "run_nuts",
+    "run_smc",
+    "sample_posterior",
+    "split_rhat",
+]

@@ -1,0 +1,76 @@
+"""MCMC diagnostics: effective sample size and split-R-hat.
+
+Needed for the driver's north-star metric "ESS/s per chip on hyperpriors
+NUTS" (BASELINE.json).  Implementations follow the standard Stan/Vehtari
+et al. (2021) definitions: split chains, rank-free version, ESS from
+Geyer's initial monotone positive sequence of autocorrelations.
+
+Pure jnp — usable inside jit (FFT autocorrelation) or on the host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _autocovariance(x: Array) -> Array:
+    """Biased autocovariance per chain via FFT. x: (chains, draws)."""
+    n = x.shape[-1]
+    xc = x - jnp.mean(x, axis=-1, keepdims=True)
+    size = 2 * n  # zero-pad to avoid circular wrap
+    f = jnp.fft.rfft(xc, n=size, axis=-1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=size, axis=-1)[..., :n]
+    return acov / n
+
+
+def ess(samples: Array) -> Array:
+    """Effective sample size of (chains, draws) or (draws,) scalar samples.
+
+    Multi-parameter arrays (chains, draws, dim) return per-dim ESS."""
+    x = jnp.asarray(samples)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim == 3:
+        return jax.vmap(lambda c: ess(c), in_axes=2)(x)
+    m, n = x.shape
+
+    acov = _autocovariance(x)  # (m, n)
+    chain_var = acov[:, 0] * n / (n - 1.0)
+    mean_var = jnp.mean(chain_var)
+    var_plus = mean_var * (n - 1.0) / n
+    if m > 1:
+        var_plus = var_plus + jnp.var(jnp.mean(x, axis=1), ddof=1)
+
+    rho = 1.0 - (mean_var - jnp.mean(acov, axis=0)) / var_plus  # (n,)
+
+    # Geyer: sum consecutive pairs, keep while positive, enforce monotone.
+    n_pairs = n // 2
+    pair = rho[: 2 * n_pairs].reshape(n_pairs, 2).sum(axis=1)
+    # make monotone nonincreasing
+    pair_mono = jax.lax.associative_scan(jnp.minimum, pair)
+    # keep only the initial positive sequence
+    positive = jnp.cumprod(pair_mono > 0.0) > 0
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(positive, pair_mono, 0.0))
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(float(n)) if n > 10 else 1e-8)
+    return m * n / tau
+
+
+def split_rhat(samples: Array) -> Array:
+    """Split-R-hat of (chains, draws) samples (rank-free version)."""
+    x = jnp.asarray(samples)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim == 3:
+        return jax.vmap(lambda c: split_rhat(c), in_axes=2)(x)
+    m, n = x.shape
+    half = n // 2
+    x = jnp.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)  # (2m, half)
+    chain_means = jnp.mean(x, axis=1)
+    chain_vars = jnp.var(x, axis=1, ddof=1)
+    w = jnp.mean(chain_vars)
+    b = jnp.var(chain_means, ddof=1) * half
+    var_plus = (half - 1.0) / half * w + b / half
+    return jnp.sqrt(var_plus / w)

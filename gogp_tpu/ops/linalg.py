@@ -9,11 +9,27 @@ blocked factorization that can be swapped in through the same interface.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 Array = jax.Array
+
+# Trace-time dispatch switch: inside force_xla() every op takes the plain
+# XLA-primitive path (the correctness oracle / perf baseline for bench.py).
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla():
+    global _FORCE_XLA
+    prev, _FORCE_XLA = _FORCE_XLA, True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
 
 
 def cholesky(K: Array) -> Array:
@@ -22,11 +38,12 @@ def cholesky(K: Array) -> Array:
     Dispatches to the Pallas blocked kernel on TPU for sizes where it wins
     (see gogp_tpu.ops.cholesky_pallas.maybe_pallas_cholesky); XLA otherwise.
     """
-    from gogp_tpu.ops.cholesky_pallas import maybe_pallas_cholesky
+    if not _FORCE_XLA:
+        from gogp_tpu.ops.cholesky_pallas import maybe_pallas_cholesky
 
-    out = maybe_pallas_cholesky(K)
-    if out is not None:
-        return out
+        out = maybe_pallas_cholesky(K)
+        if out is not None:
+            return out
     return jnp.linalg.cholesky(K)
 
 

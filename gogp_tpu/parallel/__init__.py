@@ -1,0 +1,36 @@
+"""Multi-chip parallelism: device meshes, sharded MCMC chains, sharded SMC.
+
+The reference's only concurrency is goroutines in one process (SURVEY.md §5);
+this package is the TPU-native scaling layer built fresh: jax.sharding
+meshes, shard_map + psum/all_gather collectives over ICI.
+"""
+
+from gogp_tpu.parallel.mesh import (
+    CHAIN_AXIS,
+    DATA_AXIS,
+    chain_sharding,
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_leading,
+)
+from gogp_tpu.parallel.sample import (
+    run_hmc_sharded,
+    run_mcmc_sharded,
+    run_nuts_sharded,
+)
+from gogp_tpu.parallel.smc_sharded import run_smc_sharded
+
+__all__ = [
+    "CHAIN_AXIS",
+    "DATA_AXIS",
+    "chain_sharding",
+    "data_sharding",
+    "make_mesh",
+    "replicated",
+    "run_hmc_sharded",
+    "run_mcmc_sharded",
+    "run_nuts_sharded",
+    "run_smc_sharded",
+    "shard_leading",
+]

@@ -1,0 +1,68 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference scales with goroutines inside one process (gp/gp.go:165-213
+row-parallel covariance, :436-469 per-theta gradient traces) — there is no
+distributed backend to mirror.  The TPU-native scaling story is built here
+instead (SURVEY.md §5 "distributed communication backend"):
+
+- a named :class:`jax.sharding.Mesh` over the pod slice,
+- ``chain``-axis data parallelism for MCMC chains / SMC particles / batched
+  MLE restarts (each device owns a slab of independent problems),
+- ``data``-axis sharding for large-N covariance work (rows of K, and the
+  distributed blocked Cholesky in gogp_tpu.ops.distributed).
+
+Collectives ride the mesh through GSPMD (sharding annotations + jit) or
+explicitly through ``shard_map`` + ``psum``/``all_gather`` where the
+schedule matters (NUTS adaptation, SMC resampling).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAIN_AXIS = "chain"  # independent problems: MCMC chains, SMC particles, refits
+DATA_AXIS = "data"  # rows of large-N covariance matrices
+
+
+def make_mesh(
+    n_chain: int | None = None,
+    n_data: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (chain, data) mesh.
+
+    ``n_chain`` defaults to ``len(devices) // n_data``.  With one device this
+    degenerates to a 1x1 mesh, so all sharded code paths also run (trivially)
+    on a single chip.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_chain is None:
+        n_chain = len(devices) // n_data
+    n = n_chain * n_data
+    if n > len(devices):
+        raise ValueError(f"mesh {n_chain}x{n_data} needs {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(n_chain, n_data)
+    return Mesh(dev, (CHAIN_AXIS, DATA_AXIS))
+
+
+def chain_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis split over chains, everything else replicated."""
+    return NamedSharding(mesh, P(CHAIN_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis split over the data axis (rows of K / blocks of X)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_leading(mesh: Mesh, tree, axis: str = CHAIN_AXIS):
+    """Place every array in ``tree`` with its leading axis split over ``axis``."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

@@ -1,0 +1,188 @@
+"""Multi-chip MCMC: chains sharded over the device mesh, adaptation shared
+through collectives.
+
+This is the TPU replacement for the reference's goroutine parallelism
+(SURVEY.md §5 "distributed communication backend" — the reference has none):
+chains are split across devices with ``shard_map``; every warmup step the
+acceptance statistic is ``psum``-averaged into ONE dual-averaging step size,
+and at each adaptation-window end the per-device Welford accumulators are
+``psum``-combined into ONE shared mass matrix:
+
+    total count  n   = psum(n_d)
+    total mean   mu  = psum(n_d mu_d) / n
+    total SS     m2  = psum(m2_d + n_d (mu_d - mu)^2)
+
+so an N-device run adapts exactly like a single-device run over the full
+chain population (device-count invariance is tested on the fake CPU mesh).
+Collectives ride ICI within a slice; the per-step payload is O(dim) scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gogp_tpu.infer import adapt
+from gogp_tpu.infer.hmc import Samples, finalize_warmup, hmc_transition, init_state
+from gogp_tpu.infer.nuts import nuts_transition
+from gogp_tpu.parallel.mesh import CHAIN_AXIS, DATA_AXIS
+
+Array = jax.Array
+LogDensity = Callable[[Array], Array]
+
+
+def _make_transition(kind: str, logp, free, **kw):
+    if kind == "nuts":
+        return lambda s: nuts_transition(
+            logp, s, max_tree_depth=kw.get("max_tree_depth", 10), free=free
+        )
+    if kind == "hmc":
+        return lambda s: hmc_transition(
+            logp,
+            s,
+            trajectory_length=kw.get("trajectory_length", 1.0),
+            max_num_steps=kw.get("max_num_steps", 1024),
+            free=free,
+        )
+    raise ValueError(f"unknown sampler kind {kind!r}")
+
+
+def run_mcmc_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    kind: str = "nuts",
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    free: Array | None = None,
+    **kw,
+) -> Samples:
+    """Run ``position0.shape[0]`` chains sharded over the mesh.
+
+    Returns Samples with leading axes (chains, num_samples).  The chain count
+    must divide by the mesh size (chain axis * data axis — both are used as
+    one flat chain axis here; large-N data sharding composes separately).
+    """
+    position0 = jnp.asarray(position0)
+    n_chains, dim = position0.shape
+    axes = (CHAIN_AXIS, DATA_AXIS)
+    n_dev = mesh.devices.size
+    if n_chains % n_dev != 0:
+        raise ValueError(f"{n_chains} chains not divisible by {n_dev} devices")
+
+    keys = jax.random.split(jnp.asarray(rng), n_chains)
+    sched = adapt.build_schedule(num_warmup)
+
+    transition = _make_transition(kind, logp, free, **kw)
+    total_chains = float(n_chains)
+
+    def psum_all(x):
+        return jax.lax.psum(jax.lax.psum(x, CHAIN_AXIS), DATA_AXIS)
+
+    def device_fn(pos_local, keys_local):
+        # per-chain states (local shard)
+        states = jax.vmap(
+            lambda q, k: init_state(logp, q, k, init_step_size, free)
+        )(pos_local, keys_local)
+        dtype = pos_local.dtype
+
+        # shared (replicated) adaptation state
+        da = adapt.da_init(jnp.asarray(init_step_size, dtype))
+        welford = adapt.welford_init(dim, dtype)
+        inv_mass = jnp.ones((dim,), dtype)
+
+        def wstep(carry, flags):
+            states, da, welford, inv_mass = carry
+            um, we = flags
+            step_size = jnp.exp(da.log_step)
+            states = states._replace(
+                step_size=jnp.broadcast_to(step_size, states.step_size.shape),
+                inv_mass=jnp.broadcast_to(inv_mass, states.inv_mass.shape),
+            )
+            states = jax.vmap(transition)(states)
+
+            # ONE step size from the psum-averaged accept statistic
+            accept_mean = psum_all(jnp.sum(states.accept_prob)) / total_chains
+            da = adapt.da_update(da, accept_mean, target=target_accept)
+
+            # feed local chain positions into the local accumulator
+            def feed(w):
+                return jax.lax.fori_loop(
+                    0,
+                    states.position.shape[0],
+                    lambda i, w: adapt.welford_update(w, states.position[i]),
+                    w,
+                )
+
+            welford = jax.lax.cond(um, feed, lambda w: w, welford)
+
+            def refresh(args):
+                welford, da, inv_mass = args
+                n = psum_all(welford.count)
+                mu = psum_all(welford.count * welford.mean) / jnp.maximum(n, 1.0)
+                d = welford.mean - mu
+                m2 = psum_all(welford.m2 + welford.count * d * d)
+                var = adapt.welford_variance(adapt.WelfordState(n, mu, m2))
+                return (
+                    adapt.welford_init(dim, dtype),
+                    adapt.da_init(jnp.exp(da.log_step)),
+                    jnp.where(n > 1, var, inv_mass),
+                )
+
+            welford, da, inv_mass = jax.lax.cond(
+                we, refresh, lambda a: a, (welford, da, inv_mass)
+            )
+            return (states, da, welford, inv_mass), None
+
+        if num_warmup > 0:
+            (states, da, welford, inv_mass), _ = jax.lax.scan(
+                wstep,
+                (states, da, welford, inv_mass),
+                (sched.update_mass, sched.window_end),
+            )
+            final_step = jnp.exp(da.log_step_avg)
+            states = states._replace(
+                step_size=jnp.broadcast_to(final_step, states.step_size.shape),
+                inv_mass=jnp.broadcast_to(inv_mass, states.inv_mass.shape),
+            )
+
+        def sstep(states, _):
+            states = jax.vmap(transition)(states)
+            return states, (states.position, states.logp, states.accept_prob)
+
+        states, (pos, lps, acc) = jax.lax.scan(
+            sstep, states, None, length=num_samples
+        )
+        # (local_chains, num_samples, ...) ordering
+        return (
+            jnp.swapaxes(pos, 0, 1),
+            jnp.swapaxes(lps, 0, 1),
+            jnp.swapaxes(acc, 0, 1),
+            states,
+        )
+
+    shard = P(axes)
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard, shard),
+            out_specs=(shard, shard, shard, shard),
+            # while_loop carries mix device-varying sampler state with
+            # replicated adaptation scalars; skip the varying-axis type check
+            check_vma=False,
+        )
+    )
+    pos, lps, acc, states = fn(position0, keys)
+    return Samples(pos, lps, acc, states)
+
+
+run_nuts_sharded = functools.partial(run_mcmc_sharded, kind="nuts")
+run_hmc_sharded = functools.partial(run_mcmc_sharded, kind="hmc")

@@ -1,0 +1,137 @@
+"""Sharded-inference tests on the virtual 8-device CPU mesh.
+
+Replaces the reference's serial-vs-parallel equivalence invariant
+(gp/gp_test.go:123-132) with the TPU equivalents: sharded-vs-single-device
+consistency and cross-device adaptation correctness (SURVEY.md §4 test plan).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gogp_tpu import parallel
+from gogp_tpu.infer import diagnostics
+
+COV = np.array([[2.0, 1.2], [1.2, 1.5]])
+COV_INV = np.linalg.inv(COV)
+MEAN = np.array([1.0, -2.0])
+
+
+def mvn_logp(v):
+    d = v - jnp.asarray(MEAN)
+    return -0.5 * d @ jnp.asarray(COV_INV) @ d
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return parallel.make_mesh(n_chain=4, n_data=2)
+
+
+@pytest.fixture(scope="module")
+def mesh1():
+    return parallel.make_mesh(n_chain=1, n_data=1)
+
+
+class TestShardedNUTS:
+    def test_moments_8dev(self, mesh8):
+        x0 = jnp.zeros((16, 2))
+        res = parallel.run_nuts_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(0), mesh8,
+            num_warmup=400, num_samples=500,
+        )
+        pos = np.asarray(res.positions)  # (16, 500, 2)
+        assert pos.shape == (16, 500, 2)
+        flat = pos.reshape(-1, 2)
+        assert np.allclose(flat.mean(axis=0), MEAN, atol=0.15)
+        assert np.allclose(np.cov(flat.T), COV, atol=0.35)
+        rhat = np.asarray(diagnostics.split_rhat(jnp.asarray(pos)))
+        assert np.all(rhat < 1.05)
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        """Same chains, same keys -> bitwise-identical samples on 1 vs 8
+        devices (collectives are deterministic sums of the same terms)."""
+        x0 = jnp.zeros((8, 2))
+        kwargs = dict(num_warmup=100, num_samples=50)
+        r8 = parallel.run_nuts_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh8, **kwargs
+        )
+        r1 = parallel.run_nuts_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh1, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-8
+        )
+
+    def test_shared_mass_matrix(self, mesh8):
+        """Each device sees only 1-2 chains — too few to adapt alone; the
+        psum-combined mass must still learn the scale separation."""
+
+        def scaled_logp(v):
+            return -0.5 * (v[0] ** 2 / 100.0 + v[1] ** 2 / 0.01)
+
+        x0 = jnp.zeros((8, 2))
+        res = parallel.run_nuts_sharded(
+            scaled_logp, x0, jax.random.PRNGKey(1), mesh8,
+            num_warmup=600, num_samples=200,
+        )
+        inv_mass = np.asarray(res.state.inv_mass)  # (8, 2) per local chain
+        assert np.all(inv_mass[:, 0] / inv_mass[:, 1] > 100.0)
+
+
+class TestShardedHMC:
+    def test_moments(self, mesh8):
+        x0 = jnp.zeros((8, 2))
+        res = parallel.run_hmc_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(0), mesh8,
+            num_warmup=400, num_samples=800, trajectory_length=2.0,
+        )
+        flat = np.asarray(res.positions).reshape(-1, 2)
+        assert np.allclose(flat.mean(axis=0), MEAN, atol=0.2)
+
+
+class TestShardedSMC:
+    def test_moments_and_evidence(self, mesh8):
+        def logp(v):
+            return -0.5 * jnp.sum(v * v) - 0.5 * 3 * jnp.log(2 * jnp.pi)
+
+        res = parallel.run_smc_sharded(
+            logp, jnp.zeros(3), jax.random.PRNGKey(0), mesh8,
+            num_particles=1024, sigma0=3.0, num_mcmc_steps=5,
+        )
+        assert bool(res.betas_hit_one)
+        parts = np.asarray(res.particles)
+        assert parts.shape == (1024, 3)
+        assert np.allclose(parts.mean(axis=0), 0.0, atol=0.2)
+        assert np.allclose(parts.std(axis=0), 1.0, atol=0.2)
+        assert abs(float(res.log_evidence)) < 0.2
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        def logp(v):
+            return -0.5 * jnp.sum((v - 2.0) ** 2)
+
+        kwargs = dict(num_particles=256, sigma0=2.0, num_mcmc_steps=2)
+        r8 = parallel.run_smc_sharded(
+            logp, jnp.zeros(2), jax.random.PRNGKey(5), mesh8, **kwargs
+        )
+        r1 = parallel.run_smc_sharded(
+            logp, jnp.zeros(2), jax.random.PRNGKey(5), mesh1, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(r8.particles), np.asarray(r1.particles), atol=1e-8
+        )
+        assert np.allclose(
+            float(r8.log_evidence), float(r1.log_evidence), atol=1e-8
+        )
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = parallel.make_mesh(n_chain=8, n_data=1)
+        assert m.devices.shape == (8, 1)
+        m2 = parallel.make_mesh(n_chain=2, n_data=4)
+        assert m2.devices.shape == (2, 4)
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            parallel.make_mesh(n_chain=16, n_data=1)

@@ -8,6 +8,11 @@ XLA program.  The reference publishes no numbers (BASELINE.md), so
 kernels where profitable) over the plain XLA-primitive path on the same
 hardware — 1.0 means "no custom-kernel advantage yet".
 
+Timing methodology: the op is repeated R times *inside one compiled
+program* (serialized through a scan carry) and the whole dispatch is timed.
+This amortizes host->device dispatch latency, which through the remote-TPU
+tunnel is tens of ms and otherwise swamps sub-10ms kernels.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -25,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 N = 4096
-REPS = 10
+DEVICE_REPS = 20
+HOST_REPS = 5
 
 
 def build_problem(n: int, dtype):
@@ -40,18 +46,27 @@ def build_problem(n: int, dtype):
     return gp, x, y, v
 
 
-def time_fn(fn, *args) -> float:
-    """Median walltime in ms over REPS runs (after compile + warmup)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    out = fn(*args)
+def device_loop_time(f, *args, reps: int = DEVICE_REPS) -> float:
+    """Median ms per iteration, R serialized iterations per dispatch."""
+
+    @jax.jit
+    def looped(*args):
+        def body(c, _):
+            out = f(*jax.tree.map(lambda a: a + 0.0 * c, args))
+            leaf = jax.tree.leaves(out)[0]
+            return jnp.ravel(leaf)[0].astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return c
+
+    out = looped(*args)
     jax.block_until_ready(out)
     times = []
-    for _ in range(REPS):
+    for _ in range(HOST_REPS):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = looped(*args)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
+        times.append((time.perf_counter() - t0) * 1e3 / reps)
     return float(np.median(times))
 
 
@@ -66,11 +81,11 @@ def main():
     def lml_grad(v):
         return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
 
-    fast_ms = time_fn(jax.jit(lml_grad), v)
+    fast_ms = device_loop_time(lml_grad, v)
 
     # Plain-XLA reference path: force the fallback (no Pallas dispatch).
     with linalg.force_xla():
-        xla_ms = time_fn(jax.jit(lml_grad), v)
+        xla_ms = device_loop_time(lml_grad, v)
 
     result = {
         "metric": f"lml_grad_n{N}_walltime",

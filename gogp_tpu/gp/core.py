@@ -104,13 +104,23 @@ def masked_cov(gp: GP, theta_simil, theta_noise, x: Array, mask: Array | None) -
     K[i,j] = simil(theta_s, x_i, x_j) + delta_ij * noise(theta_n, x_j).
     Padded rows/cols are replaced by identity rows so downstream Cholesky /
     solves behave as if they weren't there.
+
+    Diagonal terms are applied with a broadcasted-iota equality mask, NOT
+    ``jnp.diag``: on TPU the scatter that diag lowers to serializes and can
+    cost ~40 ms at n=4096, while the elementwise form fuses into the kernel
+    evaluation for free.
     """
+    n = x.shape[0]
     k = gp.simil.matrix(theta_simil, x, x)
-    k = k + jnp.diag(gp.noise.vector(theta_noise, x))
+    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 1
+    )
+    noise = gp.noise.vector(theta_noise, x)
+    k = jnp.where(eye, k + noise[None, :], k)
     if mask is not None:
         m = mask.astype(k.dtype)
         outer = m[:, None] * m[None, :]
-        k = k * outer + jnp.diag(1.0 - m)
+        k = k * outer + jnp.where(eye, 1.0 - m[None, :], 0.0)
     return k
 
 

@@ -1,1 +1,1 @@
-from gogp_tpu.ops import linalg  # noqa: F401
+from gogp_tpu.ops import distributed, linalg  # noqa: F401

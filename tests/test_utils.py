@@ -1,0 +1,60 @@
+"""Checkpoint round-trip (the reference's Produce-from-stored-fields contract,
+gp/gp.go:255-257, made durable) and profiling helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gogp_tpu import utils
+from gogp_tpu.gp.core import GP, absorb, predict_from_posterior
+from gogp_tpu.kernels import rbf, uniform_noise
+
+
+def test_posterior_checkpoint_roundtrip(tmp_path):
+    gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+    x = jnp.linspace(0, 5, 12).reshape(-1, 1)
+    y = jnp.sin(x[:, 0])
+    post = absorb(gp, jnp.ones(2), jnp.full(1, 0.1), x, y)
+    mu0, s0 = predict_from_posterior(gp, post, jnp.array([[5.5]]))
+
+    path = tmp_path / "post_ckpt"
+    utils.save(path, post)
+    restored = utils.restore(path, like=post)
+    assert type(restored).__name__ == "Posterior"
+
+    mu1, s1 = predict_from_posterior(gp, restored, jnp.array([[5.5]]))
+    assert np.allclose(np.asarray(mu0), np.asarray(mu1))
+    assert np.allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_sampler_state_checkpoint_roundtrip(tmp_path):
+    from gogp_tpu import infer
+
+    def logp(v):
+        return -0.5 * jnp.sum(v * v)
+
+    state = infer.init_state(logp, jnp.zeros(3), jax.random.PRNGKey(0))
+    path = tmp_path / "hmc_ckpt"
+    utils.save(path, state)
+    back = utils.restore(path, like=state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # restored state resumes sampling
+    out = infer.hmc_transition(logp, back)
+    assert np.isfinite(float(out.logp))
+
+
+def test_phase_timer():
+    t = utils.PhaseTimer()
+    x = jnp.ones((64, 64))
+    with t.phase("matmul", sync=None):
+        y = x @ x
+        jax.block_until_ready(y)
+    assert t.totals["matmul"] > 0
+    assert "matmul" in t.report()
+
+
+def test_timed():
+    f = jax.jit(lambda x: x @ x)
+    ms = utils.timed(f, jnp.ones((128, 128)), reps=3, warmup=1)
+    assert ms > 0

@@ -1,0 +1,119 @@
+"""Pallas blocked Cholesky/TRSM vs the XLA oracle (interpreter mode on CPU;
+the same code paths compile natively on TPU — SURVEY.md §7 PR2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gogp_tpu.ops import cholesky_pallas as cp
+from gogp_tpu.ops import linalg
+
+
+def spd(n, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n))
+    return jnp.asarray(a @ a.T + n * np.eye(n), dtype=dtype)
+
+
+class TestTile:
+    @pytest.mark.parametrize("n", [8, 32, 128])
+    def test_matches_xla(self, n):
+        K = spd(n)
+        with cp.force_interpret():
+            L = np.asarray(cp.pallas_cholesky_tile(K))
+        assert np.allclose(L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-10)
+
+
+class TestBlocked:
+    @pytest.mark.parametrize("n,block", [(64, 16), (128, 32), (256, 64)])
+    def test_matches_xla(self, n, block):
+        K = spd(n, seed=1)
+        with cp.force_interpret():
+            L = np.asarray(cp.blocked_cholesky(K, block))
+        assert np.allclose(L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-9)
+
+    def test_rejects_bad_block(self):
+        with pytest.raises(ValueError):
+            cp.blocked_cholesky(spd(100), 64)
+
+
+class TestTrsm:
+    def test_lower(self):
+        n, block = 128, 32
+        L = jnp.linalg.cholesky(spd(n, seed=2))
+        B = jnp.asarray(np.random.default_rng(3).normal(size=(n, 5)))
+        X = np.asarray(cp.blocked_trsm_lower(L, B, block))
+        want = np.asarray(jax.scipy.linalg.solve_triangular(L, B, lower=True))
+        assert np.allclose(X, want, atol=1e-9)
+
+    def test_lower_t(self):
+        n, block = 128, 32
+        L = jnp.linalg.cholesky(spd(n, seed=4))
+        B = jnp.asarray(np.random.default_rng(5).normal(size=(n, 3)))
+        X = np.asarray(cp.blocked_trsm_lower_t(L, B, block))
+        want = np.asarray(
+            jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1)
+        )
+        assert np.allclose(X, want, atol=1e-9)
+
+    def test_vector_rhs(self):
+        n, block = 64, 16
+        L = jnp.linalg.cholesky(spd(n, seed=6))
+        b = jnp.asarray(np.random.default_rng(7).normal(size=n))
+        X = np.asarray(cp.blocked_trsm_lower(L, b, block))
+        want = np.asarray(jax.scipy.linalg.solve_triangular(L, b, lower=True))
+        assert np.allclose(X, want, atol=1e-9)
+
+
+class TestCustomVJP:
+    def test_grad_matches_native(self):
+        n, block = 64, 16
+        K = spd(n, seed=8)
+        with cp.force_interpret():
+            g_custom = np.asarray(
+                jax.grad(lambda K: jnp.sum(jnp.log(jnp.diagonal(cp.cholesky(K, block)))))(K)
+            )
+        g_native = np.asarray(
+            jax.grad(lambda K: jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(K)))))(K)
+        )
+        assert np.allclose(g_custom, g_native, atol=1e-8), np.abs(g_custom - g_native).max()
+
+    def test_grad_general_cotangent(self):
+        n, block = 64, 16
+        K = spd(n, seed=9)
+        W = jnp.asarray(np.random.default_rng(10).normal(size=(n, n)))
+        with cp.force_interpret():
+            g_custom = np.asarray(
+                jax.grad(lambda K: jnp.sum(cp.cholesky(K, block) * W))(K)
+            )
+        g_native = np.asarray(
+            jax.grad(lambda K: jnp.sum(jnp.linalg.cholesky(K) * W))(K)
+        )
+        assert np.allclose(g_custom, g_native, atol=1e-8)
+
+
+class TestDispatchIntegration:
+    def test_lml_through_pallas_path(self):
+        """GP LML + grad computed with the Pallas-dispatch path equals the
+        plain-XLA path (the bench.py vs_baseline pair)."""
+        from gogp_tpu.gp.core import GP
+        from gogp_tpu.kernels import rbf, uniform_noise
+        from gogp_tpu.models.params import gp_observe
+
+        gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        n = 64
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(np.sort(rng.uniform(0, 10, (n, 1)), axis=0))
+        y = jnp.asarray(np.sin(np.asarray(x[:, 0])))
+        v = jnp.zeros(3)
+
+        def f(v):
+            return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
+
+        with linalg.force_xla():
+            val_x, grad_x = f(v)
+        with cp.force_interpret():
+            val_p, grad_p = f(v)
+        assert np.isclose(float(val_x), float(val_p), atol=1e-8)
+        assert np.allclose(np.asarray(grad_x), np.asarray(grad_p), atol=1e-7)

@@ -1,0 +1,31 @@
+# Build/test entry points — counterpart of the reference's Makefiles
+# (/root/reference/Makefile runs codegen + tests + build; tutorial/Makefile
+# runs every study's selfcheck twice).  There is no codegen stage here —
+# jax.grad replaces the deriv AD step wholesale.
+
+PY ?= python
+
+.PHONY: all test selfcheck bench clean
+
+all: test selfcheck
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# Every case study end-to-end on its embedded dataset (reference
+# tutorial/Makefile loops the five studies; serial-vs-parallel duplication
+# is replaced by the batched-vs-sequential paths covered in tests/).
+selfcheck:
+	$(PY) -m gogp_tpu.tutorial.barebones   --seed 0 selfcheck > /dev/null
+	$(PY) -m gogp_tpu.tutorial.hyperpriors --seed 0 selfcheck > /dev/null
+	$(PY) -m gogp_tpu.tutorial.warpedtime  --seed 0 selfcheck > /dev/null
+	$(PY) -m gogp_tpu.tutorial.anynoise    --seed 0 selfcheck > /dev/null
+	$(PY) -m gogp_tpu.tutorial.events      --seed 0 --events 1.0:1.0:0.5,4.2:6.7:0.25 selfcheck > /dev/null
+	@echo "selfchecks ok"
+
+bench:
+	$(PY) bench.py
+	$(PY) benchmarks/ess_nuts.py
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true

@@ -124,9 +124,14 @@ def masked_cov(gp: GP, theta_simil, theta_noise, x: Array, mask: Array | None) -
     return k
 
 
-def absorb(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Posterior:
+def absorb(gp: GP, theta_simil, theta_noise, x, y, mask=None, robust: bool = False) -> Posterior:
     """Factorize K and solve for alpha — reference ``Absorb``/``absorb``
     (gp/gp.go:80-241) without the gradient side-channel (jax.grad replaces it).
+
+    ``robust=True`` retries a failed factorization with escalating diagonal
+    jitter (linalg.cholesky_with_jitter) instead of propagating NaNs — the
+    jit-compatible version of the reference's hard Cholesky error
+    (gp/gp.go:228-230).
     """
     x, y = _as_xy(gp, x, y)
     n = x.shape[0]
@@ -138,7 +143,10 @@ def absorb(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Posterior:
         mask = jnp.asarray(mask, dtype=x.dtype)
     y = y * mask
     K = masked_cov(gp, theta_simil, theta_noise, x, mask)
-    L = linalg.cholesky(K)
+    if robust:
+        L, _ = linalg.cholesky_with_jitter(K)
+    else:
+        L = linalg.cholesky(K)
     alpha = linalg.cho_solve_vec(L, y)
     return Posterior(theta_simil, theta_noise, x, y, L, alpha, mask)
 

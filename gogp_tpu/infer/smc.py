@@ -59,6 +59,27 @@ def _ess(log_weights: Array) -> Array:
     return jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
 
 
+def _rwm_mutate(logp_beta, positions, keys, step_scale, free):
+    """One vmapped random-walk Metropolis transition (gradient-free — used
+    when the target's gradient is unavailable or too expensive, e.g. the
+    large-N sharded LML whose blocked factorization loop is not
+    reverse-differentiable)."""
+
+    def one(q, k):
+        k_prop, k_acc = jax.random.split(k)
+        step = step_scale * jax.random.normal(k_prop, q.shape, q.dtype)
+        if free is not None:
+            step = step * free
+        q_new = q + step
+        delta = logp_beta(q_new) - logp_beta(q)
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(delta))
+        accept = jax.random.uniform(k_acc, dtype=q.dtype) < accept_prob
+        return jnp.where(accept, q_new, q), accept_prob
+
+    return jax.vmap(one)(positions, keys)
+
+
 def _hmc_mutate(
     vg_beta, positions, keys, step_size, inv_mass, n_leapfrog: int, free
 ):
@@ -111,12 +132,19 @@ def run_smc(
     max_stages: int = 100,
     bisection_iters: int = 20,
     free: Array | None = None,
+    mutation: str = "hmc",
 ) -> SMCResult:
     """Anneal from N(position0, sigma0^2 I) to ``logp``; returns particles.
 
     ``log_evidence`` estimates log Z where logp = log(Z * pi(v)) relative to
     the Gaussian reference — i.e. log E_{q0}[exp(logp - log q0)].
+
+    ``mutation``: "hmc" (default) or "rwm" — random-walk Metropolis for
+    targets whose gradient is unavailable (e.g. the fori_loop-based
+    distributed LML).
     """
+    if mutation not in ("hmc", "rwm"):
+        raise ValueError(f"unknown mutation {mutation!r}")
     position0 = jnp.asarray(position0)
     dim = position0.shape[0]
     dtype = position0.dtype
@@ -191,15 +219,30 @@ def run_smc(
         inv_mass = jnp.maximum(std * std, 1e-10)
         step_size = 0.5 / jnp.sqrt(jnp.asarray(dim, dtype))
 
-        vg = vg_beta_fn(beta_new)
+        if mutation == "hmc":
+            vg = vg_beta_fn(beta_new)
 
-        def mutate(i, pa):
-            parts, acc = pa
-            keys = jax.random.split(jax.random.fold_in(k_mut, i), num_particles)
-            parts, accept_probs = _hmc_mutate(
-                vg, parts, keys, step_size, inv_mass, n_leapfrog, free
-            )
-            return parts, jnp.mean(accept_probs)
+            def mutate(i, pa):
+                parts, acc = pa
+                keys = jax.random.split(jax.random.fold_in(k_mut, i), num_particles)
+                parts, accept_probs = _hmc_mutate(
+                    vg, parts, keys, step_size, inv_mass, n_leapfrog, free
+                )
+                return parts, jnp.mean(accept_probs)
+
+        else:  # rwm
+
+            def logp_b(v):
+                return (1.0 - beta_new) * log_q0(v) + beta_new * logp(v)
+
+            # Roberts/Rosenthal optimal RWM scaling from the population std
+            rwm_scale = (2.38 / jnp.sqrt(jnp.asarray(dim, dtype))) * std
+
+            def mutate(i, pa):
+                parts, acc = pa
+                keys = jax.random.split(jax.random.fold_in(k_mut, i), num_particles)
+                parts, accept_probs = _rwm_mutate(logp_b, parts, keys, rwm_scale, free)
+                return parts, jnp.mean(accept_probs)
 
         particles, accept_rate = jax.lax.fori_loop(
             0, num_mcmc_steps, mutate, (particles, jnp.asarray(0.0, dtype))

@@ -47,6 +47,47 @@ def cholesky(K: Array) -> Array:
     return jnp.linalg.cholesky(K)
 
 
+def cholesky_with_jitter(
+    K: Array, max_tries: int = 5, initial_jitter: float = 1e-8
+) -> tuple[Array, Array]:
+    """Cholesky with escalating diagonal jitter — the failure-detection path.
+
+    The reference surfaces a failed factorization as a hard error with the
+    offending matrix (gp/gp.go:228-230) and dies; under jit we can't raise,
+    so instead: try plain Cholesky, and while the factor contains non-finite
+    entries re-try with jitter ``initial_jitter * mean(diag) * 10^t`` added
+    to the diagonal, up to ``max_tries`` escalations (a bounded while_loop).
+
+    Returns ``(L, jitter_used)``; callers can expose ``jitter_used > 0`` as
+    a warning signal.  With ``max_tries`` exhausted the factor still carries
+    NaNs, which propagate to the log-density — samplers treat non-finite
+    energies as divergences, so a truly unsalvageable matrix degrades into
+    a rejected proposal instead of a crashed run.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    scale = jnp.mean(jnp.diagonal(K)) * initial_jitter
+
+    def ok(L):
+        return jnp.all(jnp.isfinite(jnp.diagonal(L)))
+
+    def cond(state):
+        t, L, _ = state
+        return (t < max_tries) & ~ok(L)
+
+    def body(state):
+        t, _, _ = state
+        jitter = scale * (10.0 ** t.astype(K.dtype))
+        L = cholesky(K + jitter * eye)
+        return t + 1, L, jitter
+
+    L0 = cholesky(K)
+    _, L, jitter = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), L0, jnp.asarray(0.0, K.dtype))
+    )
+    return L, jitter
+
+
 def cho_solve_vec(L: Array, y: Array) -> Array:
     """alpha = K^{-1} y given lower factor L (reference gp/gp.go:232-233)."""
     z = solve_triangular(L, y, lower=True)

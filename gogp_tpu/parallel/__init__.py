@@ -19,6 +19,7 @@ from gogp_tpu.parallel.sample import (
     run_mcmc_sharded,
     run_nuts_sharded,
 )
+from gogp_tpu.parallel.large_n import make_rowsharded_logp, run_smc_large_n
 from gogp_tpu.parallel.smc_sharded import run_smc_sharded
 
 __all__ = [
@@ -27,7 +28,9 @@ __all__ = [
     "chain_sharding",
     "data_sharding",
     "make_mesh",
+    "make_rowsharded_logp",
     "replicated",
+    "run_smc_large_n",
     "run_hmc_sharded",
     "run_mcmc_sharded",
     "run_nuts_sharded",

@@ -1,0 +1,139 @@
+"""Large-N GP inference: SMC over hyperparameters with the covariance
+sharded over the mesh and the Cholesky distributed (BASELINE.json config
+"Large-N forecast: N=16k points, sharded covariance + distributed Cholesky,
+SMC over hyperparameters").
+
+Composition: the whole SMC sampler runs *inside* ``shard_map`` over the
+mesh's data axis with identical PRNG streams on every device, so all
+sampler control flow (tempering, resampling, mutation accept/reject) is
+replicated; only the log-density does distributed work — each device builds
+its block-rows of K(theta) directly from its shard of X (the covariance is
+never materialized unsharded) and the blocked distributed Cholesky + solve
+(gogp_tpu.ops.distributed) reduce to the replicated LML scalar with
+psum/all_gather collectives.
+
+Mutation is random-walk Metropolis: the distributed factorization is a
+``fori_loop`` pipeline and therefore not reverse-differentiable — its
+custom VJP is future work; RWM needs only log-density values, which the
+collectives already provide.  Particle count stays moderate (the vmapped
+log-density batches the per-device covariance rows as (P, n/D, n)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gogp_tpu.gp.core import GP
+from gogp_tpu.infer.smc import SMCResult, run_smc
+from gogp_tpu.ops.distributed import lml_rowsharded
+from gogp_tpu.parallel.mesh import DATA_AXIS
+
+Array = jax.Array
+
+
+def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str, block: int):
+    """Per-device closure: v (log-thetas, replicated) -> replicated LML.
+
+    Builds this device's block-rows of K(theta) from its X shard (reference
+    covariance semantics, gp/gp.go:106-156: noise + mask on the diagonal
+    only) and runs the distributed factorization.
+    """
+    n_local = x_local.shape[0]
+    n = x_full.shape[0]
+
+    def logp(v):
+        theta = jnp.exp(v)
+        th_s, th_n = theta[: gp.n_theta_simil], theta[gp.n_theta_simil :]
+        row0 = jax.lax.axis_index(axis) * n_local
+        rows = gp.simil.matrix(th_s, x_local, x_full)  # (n_local, n)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local, n), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local, n), 0) + row0
+        eye = col_ids == row_ids
+        noise = gp.noise.vector(th_n, x_local)
+        rows = jnp.where(eye, rows + noise[:, None], rows)
+        # padding mask: identity rows/cols for masked-out points
+        m_local = mask_local.astype(rows.dtype)
+        # column mask needs the full mask: gather it
+        m_full = jax.lax.all_gather(m_local, axis, tiled=True)
+        rows = rows * (m_local[:, None] * m_full[None, :])
+        rows = jnp.where(eye, rows + (1.0 - m_local[:, None]), rows)
+        yv = y_local * m_local
+        lml = lml_rowsharded(rows, yv, axis, block)
+        # correct the constant term for padding: lml_rowsharded used full n
+        n_pad = jnp.asarray(n, rows.dtype) - jax.lax.psum(jnp.sum(m_local), axis)
+        return lml + 0.5 * n_pad * jnp.log(2.0 * jnp.pi)
+
+    return logp
+
+
+def run_smc_large_n(
+    gp: GP,
+    x: Array,
+    y: Array,
+    rng: Array,
+    mesh: Mesh,
+    num_particles: int = 32,
+    sigma0: float = 1.0,
+    num_mcmc_steps: int = 5,
+    block: int = 256,
+    mask: Array | None = None,
+    position0: Array | None = None,
+    max_stages: int = 50,
+) -> SMCResult:
+    """SMC posterior over log-thetas with N-sharded covariance work.
+
+    ``x``: (n, d), ``y``: (n,) with n divisible by the mesh's data-axis
+    size.  All other mesh axes must have size 1 (the particle population is
+    replicated; sharding particles over chips composes in round 2).
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    n_data = mesh.shape[DATA_AXIS]
+    if n % n_data != 0:
+        raise ValueError(f"n={n} must divide over {n_data} data-axis devices")
+    if mask is None:
+        mask = jnp.ones(n, dtype=x.dtype)
+    if position0 is None:
+        position0 = jnp.zeros(gp.n_theta, dtype=x.dtype)
+    rng = jnp.asarray(rng)
+
+    other_axes = [a for a in mesh.axis_names if a != DATA_AXIS]
+    for a in other_axes:
+        if mesh.shape[a] != 1:
+            raise ValueError(f"axis {a} must have size 1 for large-N SMC")
+
+    def device_fn(x_local, y_local, m_local):
+        logp = make_rowsharded_logp(
+            gp, x_local, jax.lax.all_gather(x_local, DATA_AXIS, tiled=True),
+            y_local, m_local, DATA_AXIS, block,
+        )
+        return run_smc(
+            logp,
+            position0,
+            rng,
+            num_particles=num_particles,
+            sigma0=sigma0,
+            num_mcmc_steps=num_mcmc_steps,
+            max_stages=max_stages,
+            mutation="rwm",
+        )
+
+    in_shard = P(DATA_AXIS)
+    rep = P()
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), in_shard, in_shard),
+            out_specs=SMCResult(rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+    )
+    return fn(x, y, mask)

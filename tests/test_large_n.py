@@ -1,0 +1,115 @@
+"""Large-N sharded SMC: row-sharded log-density vs the dense oracle, and
+posterior agreement with the serial sampler (BASELINE.json large-N config,
+scaled down to the fake 8-device CPU mesh)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gogp_tpu import infer, parallel
+from gogp_tpu.gp.core import GP
+from gogp_tpu.kernels import rbf, uniform_noise
+from gogp_tpu.models.params import gp_observe
+from gogp_tpu.parallel import DATA_AXIS
+from gogp_tpu.parallel.large_n import make_rowsharded_logp
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh(n_chain=1, n_data=8)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+    n = 64
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, (n, 1)), axis=0)
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=n)
+    return gp, jnp.asarray(x), jnp.asarray(y)
+
+
+class TestRowShardedLogp:
+    def test_matches_dense(self, mesh, problem):
+        gp, x, y = problem
+        n = x.shape[0]
+        mask = jnp.ones(n)
+
+        def device_fn(x_local, y_local, m_local, v):
+            x_full = jax.lax.all_gather(x_local, DATA_AXIS, tiled=True)
+            logp = make_rowsharded_logp(
+                gp, x_local, x_full, y_local, m_local, DATA_AXIS, block=8
+            )
+            return logp(v)
+
+        f = jax.jit(
+            jax.shard_map(
+                device_fn,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        for v in [jnp.zeros(3), jnp.array([0.3, -0.5, -1.0])]:
+            got = float(f(x, y, mask, v))
+            want = float(gp_observe(gp, v, x=x, y=y, mask=mask))
+            assert np.isclose(got, want, atol=1e-8), (got, want)
+
+    def test_padding_correction(self, mesh, problem):
+        gp, x, y = problem
+        n = x.shape[0]
+        mask = jnp.concatenate([jnp.ones(n - 16), jnp.zeros(16)])
+
+        def device_fn(x_local, y_local, m_local, v):
+            x_full = jax.lax.all_gather(x_local, DATA_AXIS, tiled=True)
+            logp = make_rowsharded_logp(
+                gp, x_local, x_full, y_local, m_local, DATA_AXIS, block=8
+            )
+            return logp(v)
+
+        f = jax.jit(
+            jax.shard_map(
+                device_fn,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        v = jnp.zeros(3)
+        got = float(f(x, y, mask, v))
+        want = float(gp_observe(gp, v, x=x, y=y, mask=mask))
+        assert np.isclose(got, want, atol=1e-8), (got, want)
+
+
+class TestLargeNSMC:
+    def test_posterior_moments_match_serial(self, mesh, problem):
+        gp, x, y = problem
+        res = parallel.run_smc_large_n(
+            gp, x, y, jax.random.PRNGKey(0), mesh,
+            num_particles=256, sigma0=1.5, num_mcmc_steps=5, block=8,
+        )
+        assert bool(res.betas_hit_one)
+        parts = np.asarray(res.particles)
+        assert np.all(np.isfinite(parts))
+
+        # serial oracle on the dense logp
+        mask = jnp.ones(x.shape[0])
+
+        def dense_logp(v):
+            return gp_observe(gp, v, x=x, y=y, mask=mask)
+
+        serial = infer.run_smc(
+            dense_logp, jnp.zeros(3), jax.random.PRNGKey(1),
+            num_particles=256, sigma0=1.5, num_mcmc_steps=5, mutation="rwm",
+        )
+        sp = np.asarray(serial.particles)
+        # same posterior within Monte-Carlo error
+        assert np.allclose(parts.mean(axis=0), sp.mean(axis=0), atol=0.3), (
+            parts.mean(axis=0), sp.mean(axis=0),
+        )

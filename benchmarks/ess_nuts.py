@@ -3,9 +3,14 @@
 Runs vmapped NUTS chains over the hyperpriors GP posterior (the flagship
 model: 6 thetas, Matern52 trend + periodic seasonality + Normal hyperpriors
 on the reference's trend_season dataset) and reports effective samples per
-second of sampling walltime (min ESS across parameters, summed over chains).
+second of sampling walltime (min ESS across parameters, aggregated over
+chains).
 
-Usage: python benchmarks/ess_nuts.py [--chains 16] [--samples 512] [--json]
+Work is dispatched in fixed-size chunks of transitions (one scan per chunk)
+rather than one monolithic program: long single dispatches trip the remote
+TPU tunnel's limits, and chunking also gives walltime per phase for free.
+
+Usage: python benchmarks/ess_nuts.py [--chains 64] [--samples 512]
 """
 
 from __future__ import annotations
@@ -21,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CHUNK = 64
 
 
 def build_logp():
@@ -43,54 +50,64 @@ def build_logp():
     return logp, gp.n_theta
 
 
-def run(chains: int = 16, num_warmup: int = 512, num_samples: int = 512, seed: int = 0):
-    from gogp_tpu import infer
-    from gogp_tpu.infer import diagnostics
+def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: int = 0):
+    from gogp_tpu.infer import adapt, diagnostics
+    from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
+    from gogp_tpu.infer.nuts import nuts_transition
 
     logp, dim = build_logp()
     keys = jax.random.split(jax.random.PRNGKey(seed), chains)
-    x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32)
-
-    warm = jax.jit(
-        jax.vmap(
-            lambda q, k: infer.run_nuts(
-                logp, q, k, num_warmup=num_warmup, num_samples=0
-            ).state
-        )
+    x0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
     )
+    sched = adapt.build_schedule(num_warmup)
 
-    # warmup (compile + adapt), then time the sampling phase alone with the
-    # adapted step size / mass carried in explicitly
-    states = warm(x0, keys)
+    init = jax.jit(jax.vmap(lambda q, k: init_state(logp, q, k, 0.1)))
+    states = init(x0, keys)
     jax.block_until_ready(states)
 
-    def sample_adapted(positions, rngs, step_sizes, inv_masses):
-        from gogp_tpu.infer.hmc import init_state
-        from gogp_tpu.infer.nuts import nuts_transition
+    @jax.jit
+    def warm_chunk(states, um, we):
+        def step(states, flags):
+            u, w = flags
+            states = jax.vmap(lambda s: nuts_transition(logp, s))(states)
+            states = jax.vmap(lambda s: warmup_step(s, u, w))(states)
+            return states, None
 
-        def one(q, key, step, im):
-            s = init_state(logp, q, key, 0.1)
-            s = s._replace(step_size=step, inv_mass=im)
+        states, _ = jax.lax.scan(step, states, (um, we))
+        return states
 
-            def sstep(s, _):
-                s = nuts_transition(logp, s)
-                return s, s.position
-
-            _, pos = jax.lax.scan(sstep, s, None, length=num_samples)
-            return pos
-
-        return jax.vmap(one)(positions, rngs, step_sizes, inv_masses)
-
-    fn = jax.jit(sample_adapted)
-    args = (states.position, states.rng, states.step_size, states.inv_mass)
-    pos = fn(*args)
-    jax.block_until_ready(pos)
     t0 = time.perf_counter()
-    pos = fn(*args)
-    jax.block_until_ready(pos)
+    for i in range(0, num_warmup, CHUNK):
+        states = warm_chunk(
+            states, sched.update_mass[i : i + CHUNK], sched.window_end[i : i + CHUNK]
+        )
+        jax.block_until_ready(states)
+    warm_time = time.perf_counter() - t0
+    states = jax.jit(jax.vmap(finalize_warmup))(states)
+
+    @jax.jit
+    def sample_chunk(states):
+        def step(states, _):
+            states = jax.vmap(lambda s: nuts_transition(logp, s))(states)
+            return states, states.position
+
+        states, pos = jax.lax.scan(step, states, None, length=CHUNK)
+        return states, jnp.swapaxes(pos, 0, 1)  # (chains, CHUNK, dim)
+
+    # compile once (not timed), then time the sampling chunks
+    states_c, _ = sample_chunk(states)
+    jax.block_until_ready(states_c)
+
+    chunks = []
+    t0 = time.perf_counter()
+    for _ in range(0, num_samples, CHUNK):
+        states, pos = sample_chunk(states)
+        chunks.append(pos)
+        jax.block_until_ready(pos)
     walltime = time.perf_counter() - t0
 
-    pos = np.asarray(pos)  # (chains, samples, dim)
+    pos = np.concatenate([np.asarray(c) for c in chunks], axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))  # (dim,)
     min_ess = float(ess_per_param.min())
     return {
@@ -99,6 +116,7 @@ def run(chains: int = 16, num_warmup: int = 512, num_samples: int = 512, seed: i
         "unit": "ESS/s",
         "min_ess": round(min_ess, 1),
         "walltime_s": round(walltime, 3),
+        "warmup_s": round(warm_time, 3),
         "chains": chains,
         "samples_per_chain": num_samples,
         "platform": jax.devices()[0].platform,
@@ -107,7 +125,7 @@ def run(chains: int = 16, num_warmup: int = 512, num_samples: int = 512, seed: i
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chains", type=int, default=16)
+    ap.add_argument("--chains", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=512)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)

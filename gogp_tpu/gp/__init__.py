@@ -6,5 +6,6 @@ from gogp_tpu.gp.core import (  # noqa: F401
     lml_from_posterior,
     predict,
     predict_from_posterior,
+    predict_mixture,
     predict_prior,
 )

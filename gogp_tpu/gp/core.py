@@ -202,6 +202,37 @@ def predict(gp: GP, theta_simil, theta_noise, x, y, z, mask=None) -> tuple[Array
     return predict_from_posterior(gp, post, z)
 
 
+def predict_mixture(gp: GP, vs: Array, x, y, z, mask=None) -> tuple[Array, Array]:
+    """Bayesian posterior predictive: moment-matched mixture over sampled
+    hyperparameters.
+
+    ``vs``: (S, n_theta) *log-scale* parameter vectors (NUTS/SMC/ADVI draws
+    under the reference Observe protocol).  Each draw conditions the GP and
+    predicts at ``z``; the returned (mu, sigma) are the mixture's first two
+    moments:  mu = E[mu_s],  var = E[sigma_s^2 + mu_s^2] - mu^2.
+
+    The per-draw fit+predict is vmapped — one batched covariance build +
+    batched Cholesky for all S draws (the reference has no equivalent; its
+    only integration over hyperparameters is MLE plug-in).
+    """
+    x, y = _as_xy(gp, x, y)
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    vs = jnp.asarray(vs)
+    nts = gp.n_theta_simil
+
+    def one(v):
+        theta = jnp.exp(v)
+        post = absorb(gp, theta[:nts], theta[nts:], x, y, mask)
+        return predict_from_posterior(gp, post, z)
+
+    mus, sigmas = jax.vmap(one)(vs)  # (S, m) each
+    mu = jnp.mean(mus, axis=0)
+    var = jnp.mean(sigmas * sigmas + mus * mus, axis=0) - mu * mu
+    return mu, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
 def predict_prior(gp: GP, theta_simil, z) -> tuple[Array, Array]:
     """Prediction with no observations: mu = 0, sigma = prior std
     (reference gp/gp.go:343-347 zero path)."""

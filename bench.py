@@ -29,6 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeat benchmark runs skip the multi-minute
+# compiles of the nested sampler loops
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 N = 4096
 DEVICE_REPS = 20
 HOST_REPS = 5

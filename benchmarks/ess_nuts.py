@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeat benchmark runs skip the multi-minute
+# compiles of the nested sampler loops
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CHUNK = 64
@@ -50,7 +55,7 @@ def build_logp():
     return logp, gp.n_theta
 
 
-def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: int = 0):
+def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: int = 0, max_depth: int = 8):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
     from gogp_tpu.infer.nuts import nuts_transition
@@ -70,7 +75,7 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
     def warm_chunk(states, um, we):
         def step(states, flags):
             u, w = flags
-            states = jax.vmap(lambda s: nuts_transition(logp, s))(states)
+            states = jax.vmap(lambda s: nuts_transition(logp, s, max_depth))(states)
             states = jax.vmap(lambda s: warmup_step(s, u, w))(states)
             return states, None
 
@@ -89,7 +94,7 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
     @jax.jit
     def sample_chunk(states):
         def step(states, _):
-            states = jax.vmap(lambda s: nuts_transition(logp, s))(states)
+            states = jax.vmap(lambda s: nuts_transition(logp, s, max_depth))(states)
             return states, states.position
 
         states, pos = jax.lax.scan(step, states, None, length=CHUNK)
@@ -110,6 +115,7 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
     pos = np.concatenate([np.asarray(c) for c in chunks], axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))  # (dim,)
     min_ess = float(ess_per_param.min())
+    accept = float(np.mean(np.asarray(states.accept_prob)))
     return {
         "metric": "ess_per_sec_nuts_hyperpriors",
         "value": round(min_ess / walltime, 2),
@@ -119,6 +125,10 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
         "warmup_s": round(warm_time, 3),
         "chains": chains,
         "samples_per_chain": num_samples,
+        "max_tree_depth": max_depth,
+        "ess_per_param": [round(float(e), 1) for e in ess_per_param],
+        "accept_rate": round(accept, 3),
+        "step_size": round(float(np.mean(np.asarray(states.step_size))), 4),
         "platform": jax.devices()[0].platform,
     }
 
@@ -129,8 +139,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=512)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-depth", type=int, default=8)
     args = ap.parse_args()
-    out = run(args.chains, args.warmup, args.samples, args.seed)
+    out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
     print(json.dumps(out))
 
 

@@ -63,31 +63,34 @@ def force_interpret():
         _INTERPRET = prev
 
 
-def _chol_kernel(a_ref, l_ref):
-    """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower."""
+def _chol_kernel(a_ref, l_ref, m_ref):
+    """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower.
+
+    Outer-product (right-looking, rank-1) formulation chosen for Mosaic's
+    layout rules: dynamic slicing along the lane (last) dimension must be
+    128-aligned, so column j is never *sliced* — it is extracted with a
+    lane-masked reduction of the symmetric working matrix M, the pivot with
+    a second masked reduction, and the trailing update is a broadcasted
+    (n,1)x(1,n) outer product.  Every op is a full-tile VPU op; the loop
+    carries no dynamic indices at all.
+    """
     n = a_ref.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    row_col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    m_ref[:] = a_ref[:]
     l_ref[:] = jnp.zeros_like(a_ref)
 
     def body(j, _):
-        L = l_ref[:]
-        # partial row j of L (columns < j)
-        row_j = l_ref[pl.ds(j, 1), :]  # (1, n)
-        row_j = jnp.where(col_ids[:1, :] < j, row_j, 0.0)
-        # c = A[:, j] - L[:, :j] @ L[j, :j]^T
-        Lmask = jnp.where(col_ids < j, L, 0.0)
-        s = jax.lax.dot_general(
-            Lmask, row_j, (((1,), (1,)), ((), ())),
-            preferred_element_type=a_ref.dtype,
-        )  # (n, 1)
-        c = a_ref[:, pl.ds(j, 1)] - s
-        d = jnp.sum(jnp.where(row_col == j, c, 0.0))
-        inv_ljj = jax.lax.rsqrt(d)
-        col = c * inv_ljj
-        col = jnp.where(row_col > j, col, 0.0)
-        col = jnp.where(row_col == j, d * inv_ljj, col)  # sqrt(d) on diag
-        l_ref[:, pl.ds(j, 1)] = col
+        M = m_ref[:]
+        # row j of M == column j of M (M stays symmetric under rank-1 updates)
+        row_j = jnp.sum(jnp.where(row_ids == j, M, 0.0), axis=0, keepdims=True)
+        col_j = jnp.sum(jnp.where(col_ids == j, M, 0.0), axis=1, keepdims=True)
+        d = jnp.sum(jnp.where(col_ids[:1, :] == j, row_j, 0.0))
+        inv_sqrt = jax.lax.rsqrt(d)
+        l_col = jnp.where(row_ids[:, :1] >= j, col_j * inv_sqrt, 0.0)  # (n,1)
+        l_row = jnp.where((col_ids[:1, :] >= j), row_j * inv_sqrt, 0.0)  # (1,n)
+        m_ref[:] = M - l_col * l_row  # rank-1 trailing update (broadcast outer)
+        l_ref[:] = l_ref[:] + jnp.where(col_ids == j, l_col, 0.0)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -101,9 +104,10 @@ def pallas_cholesky_tile(a: Array) -> Array:
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(a.shape, a.dtype)],
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=n * n * n // 3, bytes_accessed=2 * n * n * a.dtype.itemsize,
+            flops=2 * n * n * n, bytes_accessed=2 * n * n * a.dtype.itemsize,
             transcendentals=n,
         ),
     )(a)

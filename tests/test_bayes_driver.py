@@ -1,0 +1,50 @@
+"""Bayesian forecast driver smoke tests (BASELINE.json configs: NUTS over
+hyperpriors, ADVI/HMC on anynoise, SMC) — tiny sampler sizes, full pipeline."""
+
+import io
+
+import numpy as np
+import pytest
+
+from gogp_tpu.tutorial import bayes
+
+
+def run_driver(args):
+    import contextlib
+    import sys
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bayes.main(args)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "study,engine",
+    [
+        ("hyperpriors", "nuts"),
+        ("barebones", "smc"),
+        ("anynoise", "advi"),
+    ],
+)
+def test_engines_produce_forecast(study, engine):
+    out = run_driver(
+        [
+            study,
+            "--engine", engine,
+            "--samples", "64",
+            "--warmup", "60",
+            "--chains", "2",
+            "--grid", "10",
+            "selfcheck",
+        ]
+    )
+    lines = [l for l in out.strip().splitlines() if l and not l.startswith("#")]
+    assert len(lines) == 10
+    vals = np.asarray([[float(v) for v in l.split(",")] for l in lines])
+    # z, nan, mu, sigma
+    assert vals.shape[1] == 4
+    assert np.all(np.isnan(vals[:, 1]))
+    assert np.all(np.isfinite(vals[:, 2]))
+    assert np.all(vals[:, 3] >= 0)
+    assert any(l.startswith("# posterior theta mean") for l in out.splitlines())

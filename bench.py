@@ -75,28 +75,90 @@ def device_loop_time(f, *args, reps: int = DEVICE_REPS) -> float:
     return float(np.median(times))
 
 
+def reference_algorithm_lml_grad(gp, x, y):
+    """The REFERENCE's computational strategy on the same hardware: the
+    per-theta trace-identity gradient loop of gp/gp.go:418-499 (SURVEY.md
+    §3.2 hot loop #3) — dK built per hyperparameter, then for each theta
+    r0 = (alpha alpha^T) dK_i, r1 = K^-1 dK_i, grad_i = 0.5 tr(r0 - r1) —
+    i.e. p extra O(n^3) matmuls/solves per gradient, versus this
+    framework's single reverse pass through the Cholesky."""
+    import jax.numpy as jnp
+
+    from gogp_tpu.gp.core import masked_cov
+    from gogp_tpu.models.params import split_params
+    from gogp_tpu.ops import linalg
+
+    n = x.shape[0]
+    mask = jnp.ones((n,), dtype=x.dtype)
+    _LOG_2PI = 1.8378770664093453
+
+    def fn(v):
+        p = split_params(gp, v)
+
+        def cov_of(theta_flat):
+            nts = gp.n_theta_simil
+            return masked_cov(gp, theta_flat[:nts], theta_flat[nts:], x, mask)
+
+        theta_flat = jnp.concatenate([p.theta_simil, p.theta_noise])
+        K = cov_of(theta_flat)
+        # dK per theta: forward-mode per hyperparameter — the vectorized
+        # equivalent of the reference's per-pair AD tapes (gp/gp.go:109-156)
+        dK = jax.jacfwd(cov_of)(theta_flat)  # (n, n, p)
+        # log-scale chain rule, as the reference applies by hand (:114-116)
+        dK = dK * theta_flat[None, None, :]
+
+        L = linalg.cholesky(K)
+        alpha = linalg.cho_solve_vec(L, y)
+        lml = -0.5 * (
+            n * _LOG_2PI
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            + jnp.dot(y, alpha)
+        )
+        a = jnp.outer(alpha, alpha)
+
+        def grad_i(dKi):
+            r0 = a @ dKi
+            r1 = linalg.cho_solve_mat(L, dKi)
+            return 0.5 * jnp.trace(r0 - r1)
+
+        grads = jax.vmap(grad_i, in_axes=2)(dK)
+        return lml, grads
+
+    return fn
+
+
 def main():
     platform = jax.devices()[0].platform
     dtype = jnp.float32
     gp, x, y, v = build_problem(N, dtype)
 
     from gogp_tpu.models.params import gp_observe
-    from gogp_tpu.ops import linalg
 
     def lml_grad(v):
         return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
 
     fast_ms = device_loop_time(lml_grad, v)
 
-    # Plain-XLA reference path: force the fallback (no Pallas dispatch).
-    with linalg.force_xla():
-        xla_ms = device_loop_time(lml_grad, v)
+    # Baseline: the reference's own gradient algorithm on this hardware.
+    ref_fn = reference_algorithm_lml_grad(gp, x, y)
+    ref_ms = device_loop_time(ref_fn, v)
+
+    # sanity: both strategies agree
+    v1, g1 = jax.jit(lml_grad)(v)
+    v2, g2 = jax.jit(ref_fn)(v)
+    agree = bool(
+        jnp.isclose(v1, v2, rtol=1e-4)
+        and jnp.allclose(g1, g2, rtol=1e-3, atol=1e-3)
+    )
 
     result = {
         "metric": f"lml_grad_n{N}_walltime",
         "value": round(fast_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(xla_ms / fast_ms, 3),
+        "vs_baseline": round(ref_ms / fast_ms, 3),
+        "baseline": "reference per-theta trace-identity gradient (gp/gp.go:418-499) on same chip",
+        "baseline_ms": round(ref_ms, 3),
+        "agree": agree,
         "platform": platform,
     }
     print(json.dumps(result))

@@ -126,10 +126,15 @@ def cholesky_rowsharded(
 
 
 def solve_lower_rowsharded(L_local: Array, b_local: Array, axis: str, block: int = 256) -> Array:
-    """Solve L y = b with L block-row-sharded, b row-sharded: (n_local,).
+    """Solve L Y = B with L block-row-sharded; B row-sharded (n_local,) or
+    (n_local, m).
 
-    Sequential over block rows; per step one psum of a length-block vector.
+    Sequential over block rows; per step one psum of a (block, m) slab.
     """
+    vec = b_local.ndim == 1
+    if vec:
+        b_local = b_local[:, None]
+    m = b_local.shape[1]
     n_local, n = L_local.shape
     block = min(block, n_local)
     nb = n // block
@@ -140,16 +145,16 @@ def solve_lower_rowsharded(L_local: Array, b_local: Array, axis: str, block: int
     def step(k, y_local):
         c0 = jnp.asarray(k * block, jnp.int32)
         # full y so far (only entries < c0 are final; rest are zero)
-        y_full = jax.lax.all_gather(y_local, axis, tiled=True)  # (n,)
-        col_mask = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < c0
+        y_full = jax.lax.all_gather(y_local, axis, tiled=True)  # (n, m)
+        col_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < c0
         y_known = jnp.where(col_mask, y_full, 0.0)
-        resid_local = b_local - L_local @ y_known  # (n_local,)
+        resid_local = b_local - L_local @ y_known  # (n_local, m)
 
         # rows of this block: psum-broadcast their residual and L rows
         in_blk = (row_ids >= c0) & (row_ids < c0 + block)
         local_start = jnp.clip(c0 - row0, 0, n_local - block)
         have = jnp.all(jax.lax.dynamic_slice_in_dim(in_blk, local_start, block, 0))
-        r_slab = jax.lax.dynamic_slice_in_dim(resid_local, local_start, block, 0)
+        r_slab = jax.lax.dynamic_slice(resid_local, (local_start, jnp.int32(0)), (block, m))
         L_slab = jax.lax.dynamic_slice(L_local, (local_start, c0), (block, block))
         r_blk = jax.lax.psum(jnp.where(have, r_slab, 0.0), axis)
         L_blk = jax.lax.psum(jnp.where(have, L_slab, 0.0), axis)
@@ -158,23 +163,69 @@ def solve_lower_rowsharded(L_local: Array, b_local: Array, axis: str, block: int
 
         # owner writes the solved block into its local slice
         idx_in_blk = jnp.clip(row_ids - c0, 0, block - 1)
-        y_local = jnp.where(in_blk, y_blk[idx_in_blk], y_local)
+        y_local = jnp.where(in_blk[:, None], y_blk[idx_in_blk], y_local)
         return y_local
 
-    y0 = jnp.zeros((n_local,), L_local.dtype)
-    return jax.lax.fori_loop(0, nb, step, y0)
+    y0 = jnp.zeros((n_local, m), L_local.dtype)
+    out = jax.lax.fori_loop(0, nb, step, y0)
+    return out[:, 0] if vec else out
 
 
-def lml_rowsharded(
-    K_local: Array, y_local: Array, axis: str, block: int = 256
-) -> Array:
-    """Large-N GP log marginal likelihood with K block-row-sharded.
-
-    L = -(n/2) log 2pi - sum(log diag L) - 1/2 ||L^-1 y||^2  (GPML eq. 5.8,
-    reference gp/gp.go:244-253) — note 1/2 log|K| = sum log diag L and
-    y^T K^-1 y = ||L^-1 y||^2, so only the forward solve is needed.
-    Returns the (replicated) scalar on every device.
+def solve_upper_rowsharded(L_local: Array, b_local: Array, axis: str, block: int = 256) -> Array:
+    """Solve L^T Y = B with L block-row-sharded (its transpose is
+    column-sharded, so each step's off-diagonal contribution is a psum of
+    local L-column-slab^T @ x products); B row-sharded (n_local,) or
+    (n_local, m).  Proceeds bottom-up over block rows.
     """
+    vec = b_local.ndim == 1
+    if vec:
+        b_local = b_local[:, None]
+    m = b_local.shape[1]
+    n_local, n = L_local.shape
+    block = min(block, n_local)
+    nb = n // block
+    rank = _rank(axis)
+    row0 = rank * n_local
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0) + row0
+
+    def step(t, x_local):
+        k = nb - 1 - t
+        c0 = jnp.asarray(k * block, jnp.int32)
+
+        # contribution sum_{j>k} L[j, k-block]^T x_j : local rows > block end
+        known = (row_ids >= c0 + block)[:, None]
+        x_known = jnp.where(known, x_local, 0.0)  # (n_local, m)
+        L_cols = jax.lax.dynamic_slice(
+            L_local, (jnp.int32(0), c0), (n_local, block)
+        )  # (n_local, block) = my rows of L[:, k-block]
+        contrib = jax.lax.dot_general(
+            L_cols, x_known, (((0,), (0,)), ((), ())),
+            preferred_element_type=L_local.dtype,
+        )  # (block, m)
+        S = jax.lax.psum(contrib, axis)
+
+        # owner's diagonal tile and rhs rows
+        in_blk = (row_ids >= c0) & (row_ids < c0 + block)
+        local_start = jnp.clip(c0 - row0, 0, n_local - block)
+        have = jnp.all(jax.lax.dynamic_slice_in_dim(in_blk, local_start, block, 0))
+        b_slab = jax.lax.dynamic_slice(b_local, (local_start, jnp.int32(0)), (block, m))
+        L_slab = jax.lax.dynamic_slice(L_local, (local_start, c0), (block, block))
+        b_blk = jax.lax.psum(jnp.where(have, b_slab, 0.0), axis)
+        L_blk = jax.lax.psum(jnp.where(have, L_slab, 0.0), axis)
+
+        x_blk = jax.scipy.linalg.solve_triangular(
+            L_blk, b_blk - S, lower=True, trans=1
+        )
+        idx_in_blk = jnp.clip(row_ids - c0, 0, block - 1)
+        x_local = jnp.where(in_blk[:, None], x_blk[idx_in_blk], x_local)
+        return x_local
+
+    x0 = jnp.zeros((n_local, m), L_local.dtype)
+    out = jax.lax.fori_loop(0, nb, step, x0)
+    return out[:, 0] if vec else out
+
+
+def _lml_forward(K_local, y_local, axis, block):
     n_local, n = K_local.shape
     rank = _rank(axis)
     row0 = rank * n_local
@@ -186,13 +237,76 @@ def lml_rowsharded(
     logdet_half = jax.lax.psum(jnp.sum(jnp.log(my_diag)), axis)
     quad = jax.lax.psum(jnp.sum(z_local * z_local), axis)
     n_f = jnp.asarray(n, K_local.dtype)
-    return -0.5 * n_f * jnp.log(2.0 * jnp.pi) - logdet_half - 0.5 * quad
+    lml = -0.5 * n_f * jnp.log(2.0 * jnp.pi) - logdet_half - 0.5 * quad
+    return lml, L_local, z_local
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lml_rowsharded(
+    K_local: Array, y_local: Array, axis: str, block: int = 256
+) -> Array:
+    """Large-N GP log marginal likelihood with K block-row-sharded.
+
+    L = -(n/2) log 2pi - sum(log diag L) - 1/2 ||L^-1 y||^2  (GPML eq. 5.8,
+    reference gp/gp.go:244-253) — note 1/2 log|K| = sum log diag L and
+    y^T K^-1 y = ||L^-1 y||^2, so only the forward solve is needed.
+    Returns the (replicated) scalar on every device.
+
+    DIFFERENTIABLE: the factorization pipeline is a fori_loop (not
+    reverse-differentiable), so the gradient is supplied analytically
+    (GPML eq. 5.9):  dL/dK = 1/2 (alpha alpha^T - K^-1),  dL/dy = -alpha,
+    with alpha and the row shard of K^-1 computed by the distributed
+    triangular solves (two extra O(n^3/D)-per-device solves on the
+    backward pass).  This is what lets HMC/NUTS run on the sharded
+    large-N log-density.
+    """
+    lml, _, _ = _lml_forward(K_local, y_local, axis, block)
+    return lml
+
+
+def _lml_fwd(K_local, y_local, axis, block):
+    lml, L_local, z_local = _lml_forward(K_local, y_local, axis, block)
+    return lml, (L_local, z_local)
+
+
+def _lml_bwd(axis, block, res, cot):
+    L_local, z_local = res
+    n_local, n = L_local.shape
+    rank = _rank(axis)
+    row0 = rank * n_local
+
+    # Convention: differentiate INSIDE shard_map (each device receives the
+    # full scalar cotangent and produces its rows' share of the gradient;
+    # parameter gradients downstream need one final psum — see
+    # gogp_tpu.parallel.large_n.make_rowsharded_value_and_grad).
+    # Differentiating the shard_map'd function from the outside with
+    # check_vma=False is NOT supported: its transpose splits the cotangent
+    # 1/D per device.
+
+    # alpha = K^-1 y = L^-T z
+    alpha_local = solve_upper_rowsharded(L_local, z_local, axis, block)
+    alpha_full = jax.lax.all_gather(alpha_local, axis, tiled=True)  # (n,)
+
+    # my rows of K^-1: solve K X = I for my one-hot columns, transposed by
+    # symmetry.  I_local = my rows of the identity.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local, n), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local, n), 0) + row0
+    eye_local = (col_ids == row_ids).astype(L_local.dtype)
+    Z = solve_lower_rowsharded(L_local, eye_local, axis, block)
+    Kinv_rows = solve_upper_rowsharded(L_local, Z, axis, block)  # (n_local, n)
+
+    Kbar = cot * 0.5 * (alpha_local[:, None] * alpha_full[None, :] - Kinv_rows)
+    ybar = -cot * alpha_local
+    return Kbar, ybar
+
+
+lml_rowsharded.defvjp(_lml_fwd, _lml_bwd)
 
 
 def make_sharded_lml(mesh: Mesh, axis: str, block: int = 256):
     """jit-compiled entry: (K row-sharded, y row-sharded) -> replicated lml."""
     fn = jax.shard_map(
-        functools.partial(lml_rowsharded, axis=axis, block=block),
+        lambda K, y: lml_rowsharded(K, y, axis, block),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
         out_specs=P(),

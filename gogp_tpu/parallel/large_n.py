@@ -70,6 +70,45 @@ def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str
     return logp
 
 
+def make_rowsharded_value_and_grad(logp, axis: str = DATA_AXIS):
+    """value_and_grad for a row-sharded log-density.
+
+    The LML's custom VJP yields each device's *partial* parameter gradient
+    (the terms of tr(W dK) whose K rows it owns); one psum completes it.
+    This is the gradient entry point for HMC/NUTS over the large-N sharded
+    log-density.
+    """
+    vg = jax.value_and_grad(logp)
+
+    def f(v):
+        val, g = vg(v)
+        return val, jax.lax.psum(g, axis)
+
+    return f
+
+
+def psum_grads(logp, axis: str = DATA_AXIS):
+    """Wrap a row-sharded log-density so plain ``jax.grad`` of the wrapper
+    is the COMPLETE parameter gradient (cross-device psum baked into the
+    custom VJP).  Lets gradient-generic samplers (run_smc's HMC mutation,
+    run_nuts) consume the sharded density unchanged."""
+
+    @jax.custom_vjp
+    def f(v):
+        return logp(v)
+
+    def fwd(v):
+        val, vjp = jax.vjp(logp, v)
+        return val, vjp
+
+    def bwd(vjp, cot):
+        (g,) = vjp(cot)
+        return (jax.lax.psum(g, axis),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def run_smc_large_n(
     gp: GP,
     x: Array,
@@ -83,12 +122,17 @@ def run_smc_large_n(
     mask: Array | None = None,
     position0: Array | None = None,
     max_stages: int = 50,
+    mutation: str = "rwm",
 ) -> SMCResult:
     """SMC posterior over log-thetas with N-sharded covariance work.
 
     ``x``: (n, d), ``y``: (n,) with n divisible by the mesh's data-axis
     size.  All other mesh axes must have size 1 (the particle population is
     replicated; sharding particles over chips composes in round 2).
+
+    ``mutation``: "rwm" (default — cheapest, log-density only) or "hmc"
+    (gradient-guided, using the sharded LML's custom VJP with the
+    cross-device psum baked in via :func:`psum_grads`).
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
@@ -114,6 +158,8 @@ def run_smc_large_n(
             gp, x_local, jax.lax.all_gather(x_local, DATA_AXIS, tiled=True),
             y_local, m_local, DATA_AXIS, block,
         )
+        if mutation == "hmc":
+            logp = psum_grads(logp, DATA_AXIS)
         return run_smc(
             logp,
             position0,
@@ -122,7 +168,7 @@ def run_smc_large_n(
             sigma0=sigma0,
             num_mcmc_steps=num_mcmc_steps,
             max_stages=max_stages,
-            mutation="rwm",
+            mutation=mutation,
         )
 
     in_shard = P(DATA_AXIS)

@@ -55,6 +55,54 @@ def build_logp():
     return logp, gp.n_theta
 
 
+def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
+           num_samples: int = 512, seed: int = 0, max_depth: int = 6):
+    """Parallel-tempered variant: ``chains`` independent ladders of
+    ``n_replicas`` replicas; ESS from the cold (beta=1) chains."""
+    from gogp_tpu.infer import diagnostics
+    from gogp_tpu.infer.tempering import run_pt_nuts
+
+    logp, dim = build_logp()
+    keys = jax.random.split(jax.random.PRNGKey(seed), chains)
+    x0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
+    )
+
+    def one(q, k):
+        return run_pt_nuts(
+            logp, q, k, n_replicas=n_replicas, beta_min=0.05,
+            num_warmup=num_warmup, num_samples=num_samples,
+            max_tree_depth=max_depth,
+        )
+
+    f = jax.jit(jax.vmap(one))
+    res = f(x0, keys)
+    jax.block_until_ready(res.positions)
+    t0 = time.perf_counter()
+    res = f(x0, keys)
+    jax.block_until_ready(res.positions)
+    walltime = time.perf_counter() - t0
+
+    pos = np.asarray(res.positions)  # (chains, samples, dim)
+    ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
+    min_ess = float(ess_per_param.min())
+    return {
+        "metric": "ess_per_sec_nuts_hyperpriors",
+        "value": round(min_ess / walltime, 2),
+        "unit": "ESS/s",
+        "min_ess": round(min_ess, 1),
+        "walltime_s": round(walltime, 3),
+        "chains": chains,
+        "n_replicas": n_replicas,
+        "samples_per_chain": num_samples,
+        "max_tree_depth": max_depth,
+        "ess_per_param": [round(float(e), 1) for e in ess_per_param],
+        "swap_rate": round(float(np.mean(np.asarray(res.swap_rate))), 3),
+        "sampler": "pt-nuts",
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: int = 0, max_depth: int = 8):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
@@ -140,8 +188,14 @@ def main():
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
+    ap.add_argument("--replicas", type=int, default=8)
     args = ap.parse_args()
-    out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
+    if args.pt:
+        out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
+                     args.seed, args.max_depth)
+    else:
+        out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
     print(json.dumps(out))
 
 

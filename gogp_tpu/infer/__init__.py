@@ -20,6 +20,7 @@ from gogp_tpu.infer.hmc import (
 from gogp_tpu.infer.mle import OptResult, adam, lbfgs
 from gogp_tpu.infer.nuts import nuts_transition, run_nuts
 from gogp_tpu.infer.smc import SMCResult, run_smc
+from gogp_tpu.infer.tempering import PTResult, geometric_ladder, run_pt_nuts
 
 __all__ = [
     "ADVIResult",
@@ -38,7 +39,10 @@ __all__ = [
     "lbfgs",
     "leapfrog",
     "mle",
+    "PTResult",
+    "geometric_ladder",
     "nuts_transition",
+    "run_pt_nuts",
     "run_advi",
     "run_hmc",
     "run_nuts",

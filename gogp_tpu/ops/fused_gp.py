@@ -61,16 +61,24 @@ def force_interpret():
 
 def chol_value(K: Array) -> Array:
     """Value-level masked-reduction Cholesky (Mosaic-safe: no dynamic lane
-    indexing; n fori_loop steps of full-matrix VPU ops)."""
-    n = K.shape[0]
+    indexing; n fori_loop steps of full-matrix VPU ops).
+
+    Batch-aware: K may be (..., n, n); every op is a broadcasted reduction
+    over the trailing two axes, so a whole chain population factorizes in
+    one pass (the in-kernel replacement for vmap, which would otherwise
+    serialize Pallas programs over a grid).
+    """
+    n = K.shape[-1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
 
     def body(j, carry):
         M, L = carry
-        row_j = jnp.sum(jnp.where(row_ids == j, M, 0.0), axis=0, keepdims=True)
-        col_j = jnp.sum(jnp.where(col_ids == j, M, 0.0), axis=1, keepdims=True)
-        d = jnp.sum(jnp.where(col_ids[:1, :] == j, row_j, 0.0))
+        row_j = jnp.sum(jnp.where(row_ids == j, M, 0.0), axis=-2, keepdims=True)
+        col_j = jnp.sum(jnp.where(col_ids == j, M, 0.0), axis=-1, keepdims=True)
+        d = jnp.sum(
+            jnp.where(col_ids[:1, :] == j, row_j, 0.0), axis=-1, keepdims=True
+        )  # (..., 1, 1)
         inv_sqrt = jax.lax.rsqrt(d)
         l_col = jnp.where(row_ids[:, :1] >= j, col_j * inv_sqrt, 0.0)
         l_row = jnp.where(col_ids[:1, :] >= j, row_j * inv_sqrt, 0.0)
@@ -91,63 +99,59 @@ def lower_inv_value(L: Array) -> Array:
     forward-substitution variant with an in-loop (1,n)@(n,n) matvec sent
     Mosaic's compile time to infinity.
     """
-    n = L.shape[0]
+    n = L.shape[-1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 1)
-    # A = [L | I]
-    A0 = jnp.where(col_ids < n, 0.0, (col_ids - n == row_ids).astype(L.dtype))
-    A0 = jnp.where(col_ids < n, jnp.pad(L, ((0, 0), (0, n))), A0)
+    # A = [L | I], batch-aware over leading axes
+    eye_part = (col_ids - n == row_ids).astype(L.dtype)
+    pad_widths = [(0, 0)] * (L.ndim - 1) + [(0, n)]
+    A0 = jnp.where(col_ids < n, jnp.pad(L, pad_widths), eye_part)
 
     def body(j, A):
-        row_j = jnp.sum(jnp.where(row_ids == j, A, 0.0), axis=0, keepdims=True)
+        row_j = jnp.sum(jnp.where(row_ids == j, A, 0.0), axis=-2, keepdims=True)
         col_j = jnp.sum(
-            jnp.where(col_ids == j, A, 0.0), axis=1, keepdims=True
+            jnp.where(col_ids == j, A, 0.0), axis=-1, keepdims=True
         )  # j-th column of the L part
-        d = jnp.sum(jnp.where(col_ids[:1, :] == j, row_j, 0.0))
+        d = jnp.sum(
+            jnp.where(col_ids[:1, :] == j, row_j, 0.0), axis=-1, keepdims=True
+        )
         factor = jnp.where(row_ids[:, :1] > j, col_j / d, 0.0)  # rows below j
         A = A - factor * row_j
         A = jnp.where(row_ids == j, A / d, A)  # normalize pivot row
         return A
 
     A = jax.lax.fori_loop(0, n, body, A0)
-    return A[:, n:]
+    return A[..., :, n:]
+
+
+def linv_value(K: Array) -> Array:
+    """L^-1 for K = L L^T — the fully serial two-loop core, batch-aware."""
+    return lower_inv_value(chol_value(K))
+
+
+def _lml_and_w_from_linv(Linv, yv, n_eff):
+    """(lml, W) from L^-1 — embarrassingly batched XLA ops (one matmul, two
+    reduce-contractions, elementwise), kept OUTSIDE the Pallas kernel where
+    XLA batches them across chains natively.
+
+    diag(L) = 1/diag(L^-1);  quad = ||L^-1 y||^2;  K^-1 = L^-T L^-1.
+    """
+    diag_linv = jnp.diagonal(Linv, axis1=-2, axis2=-1)  # (..., n)
+    logdet = -2.0 * jnp.sum(jnp.log(jnp.abs(diag_linv) + 1e-30), axis=-1)
+    z = jnp.einsum("...ij,...j->...i", Linv, yv)
+    quad = jnp.sum(z * z, axis=-1)
+    alpha = jnp.einsum("...ki,...k->...i", Linv, z)
+    Kinv = jnp.einsum("...ki,...kj->...ij", Linv, Linv)
+    lml = -0.5 * (n_eff * _LOG_2PI + logdet + quad)
+    W = alpha[..., :, None] * alpha[..., None, :] - Kinv
+    return lml, W
 
 
 def _lml_and_w_math(K, yv, n_eff):
-    """Serial core on values: chol -> L^-1 -> K^-1 -> alpha -> (lml, W).
-
-    This is the op-chain worth fusing (every op depends on the previous
-    one); the covariance/dK builds and the W<->dK contraction are single
-    fusable XLA ops and stay outside.  All linear algebra is strictly 2-D
-    (Mosaic cannot lower 1-D dots / outer products).
-    """
-    n = K.shape[0]
-    dtype = K.dtype
-    L = chol_value(K)
-    Linv = lower_inv_value(L)
-    Kinv = jax.lax.dot_general(
-        Linv, Linv, (((0,), (0,)), ((), ())), preferred_element_type=dtype
-    )  # L^-T L^-1
-    yv2 = yv[:, None]  # (n, 1)
-    alpha2 = jnp.dot(Kinv, yv2, preferred_element_type=dtype)  # (n, 1)
-
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    )
-    diag_l = jnp.sum(jnp.where(eye, L, 0.0), axis=1, keepdims=True)  # (n, 1)
-    # padded rows have L_ii = 1 -> log 0 contribution; guard anyway
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag_l, 1e-30)))
-    quad = jnp.sum(yv2 * alpha2)
-    lml = -0.5 * (n_eff * _LOG_2PI + logdet + quad)
-
-    W = (
-        jax.lax.dot_general(
-            alpha2, alpha2, (((1,), (1,)), ((), ())), preferred_element_type=dtype
-        )
-        - Kinv
-    )
-    return lml, W
+    """Value-level (lml, W): the oracle path and the CPU fallback."""
+    Linv = linv_value(K)
+    yb = jnp.broadcast_to(yv, K.shape[:-2] + yv.shape)
+    return _lml_and_w_from_linv(Linv, yb, n_eff)
 
 
 def _lml_and_grad_math(cov_from_v, priors_fn, v, yv, n_eff, core=_lml_and_w_math):
@@ -208,35 +212,42 @@ def make_fused_value_and_grad(gp, x, y, mask=None, priors_fn=None):
         theta = jnp.exp(v)
         return masked_cov(gp, theta[:nts], theta[nts:], x, mask)
 
-    def kernel(K_ref, y_ref, neff_ref, lml_ref, w_ref):
-        lml, W = _lml_and_w_math(K_ref[:], y_ref[0, :], neff_ref[0, 0])
-        lml_ref[0, 0] = lml
-        w_ref[:] = W
+    def kernel(K_ref, linv_ref):
+        linv_ref[:] = linv_value(K_ref[:])
 
-    def pallas_core(K, yv_in, n_eff_in):
-        lml, W = pl.pallas_call(
+    def pallas_linv(Kb):
+        """One Pallas call for any leading batch shape (collapsed to one
+        batch axis inside the kernel — the loops are batch-aware)."""
+        lead = Kb.shape[:-2]
+        K3 = Kb.reshape((-1, n, n)) if lead else Kb
+        out = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((1, 1), dtype),
-                jax.ShapeDtypeStruct((n, n), dtype),
-            ),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar n_eff
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar lml
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ),
+            out_shape=jax.ShapeDtypeStruct(K3.shape, dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=_INTERPRET,
             cost_estimate=pl.CostEstimate(
-                flops=4 * n * n * n,
-                bytes_accessed=2 * n * n * dtype.itemsize,
+                flops=(K3.shape[0] if lead else 1) * 3 * n * n * n,
+                bytes_accessed=2 * K3.size * dtype.itemsize,
                 transcendentals=n,
             ),
-        )(K, yv_in[None, :], jnp.reshape(n_eff_in, (1, 1)))
-        return lml[0, 0], W
+        )(K3)
+        return out.reshape(Kb.shape)
+
+    # vmap must route to the SAME kernel with a bigger batch — the default
+    # pallas batching rule would serialize programs over a grid instead.
+    @jax.custom_batching.custom_vmap
+    def linv_op(K):
+        return pallas_linv(K)
+
+    @linv_op.def_vmap
+    def _linv_vmap(axis_size, in_batched, K):
+        del axis_size, in_batched
+        return pallas_linv(K), True
+
+    def pallas_core(K, yv_in, n_eff_in):
+        Linv = linv_op(K)
+        return _lml_and_w_from_linv(Linv, yv_in, n_eff_in)
 
     def vg(v):
         v = jnp.asarray(v, dtype)

@@ -56,34 +56,73 @@ def build_logp():
 
 
 def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
-           num_samples: int = 512, seed: int = 0, max_depth: int = 6):
+           num_samples: int = 512, seed: int = 0, max_depth: int = 6,
+           beta_min: float = 0.15):
     """Parallel-tempered variant: ``chains`` independent ladders of
-    ``n_replicas`` replicas; ESS from the cold (beta=1) chains."""
-    from gogp_tpu.infer import diagnostics
-    from gogp_tpu.infer.tempering import run_pt_nuts
+    ``n_replicas`` replicas; ESS from the cold (beta=1) chains.  Driven in
+    CHUNK-sized dispatches like the plain-NUTS path (tunnel limits)."""
+    import functools
+
+    from gogp_tpu.infer import adapt, diagnostics
+    from gogp_tpu.infer.hmc import finalize_warmup
+    from gogp_tpu.infer.tempering import (
+        geometric_ladder,
+        pt_init,
+        pt_sample_chunk,
+        pt_warm_chunk,
+    )
 
     logp, dim = build_logp()
+    betas = geometric_ladder(n_replicas, beta_min, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(seed), chains)
     x0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
     )
+    sched = adapt.build_schedule(num_warmup)
 
-    def one(q, k):
-        return run_pt_nuts(
-            logp, q, k, n_replicas=n_replicas, beta_min=0.05,
-            num_warmup=num_warmup, num_samples=num_samples,
-            max_tree_depth=max_depth,
+    init = jax.jit(jax.vmap(lambda q, k: pt_init(logp, q, k, betas)))
+    states, loop_keys = init(x0, keys)
+    jax.block_until_ready(states)
+
+    @jax.jit
+    def warm_chunk(states, loop_keys, um, we, t0):
+        return jax.vmap(
+            lambda s, k: pt_warm_chunk(logp, s, k, betas, um, we, t0, max_depth)
+        )(states, loop_keys)
+
+    t0w = time.perf_counter()
+    for i in range(0, num_warmup, CHUNK):
+        states, loop_keys = warm_chunk(
+            states, loop_keys, sched.update_mass[i : i + CHUNK],
+            sched.window_end[i : i + CHUNK], jnp.asarray(i),
         )
+        jax.block_until_ready(states)
+    warm_time = time.perf_counter() - t0w
+    states = jax.jit(jax.vmap(jax.vmap(finalize_warmup)))(states)
 
-    f = jax.jit(jax.vmap(one))
-    res = f(x0, keys)
-    jax.block_until_ready(res.positions)
-    t0 = time.perf_counter()
-    res = f(x0, keys)
-    jax.block_until_ready(res.positions)
-    walltime = time.perf_counter() - t0
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sample_chunk(states, loop_keys, num, t0):
+        def one(s, k):
+            s, k, pos, raws, sw = pt_sample_chunk(logp, s, k, betas, num, t0, max_depth)
+            return s, k, pos, sw
 
-    pos = np.asarray(res.positions)  # (chains, samples, dim)
+        return jax.vmap(one)(states, loop_keys)
+
+    states_c, lk_c, _, _ = sample_chunk(states, loop_keys, CHUNK, jnp.asarray(0))
+    jax.block_until_ready(states_c)
+
+    chunks, swaps = [], []
+    t0s = time.perf_counter()
+    for i in range(0, num_samples, CHUNK):
+        states, loop_keys, pos, sw = sample_chunk(
+            states, loop_keys, CHUNK, jnp.asarray(num_warmup + i)
+        )
+        chunks.append(pos)
+        swaps.append(sw)
+        jax.block_until_ready(pos)
+    walltime = time.perf_counter() - t0s
+
+    pos = np.concatenate([np.asarray(c) for c in chunks], axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
     min_ess = float(ess_per_param.min())
     return {
@@ -92,12 +131,14 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
         "unit": "ESS/s",
         "min_ess": round(min_ess, 1),
         "walltime_s": round(walltime, 3),
+        "warmup_s": round(warm_time, 3),
         "chains": chains,
         "n_replicas": n_replicas,
         "samples_per_chain": num_samples,
         "max_tree_depth": max_depth,
         "ess_per_param": [round(float(e), 1) for e in ess_per_param],
-        "swap_rate": round(float(np.mean(np.asarray(res.swap_rate))), 3),
+        "swap_rate": round(float(np.mean([np.asarray(s) for s in swaps])), 3),
+        "beta_min": beta_min,
         "sampler": "pt-nuts",
         "platform": jax.devices()[0].platform,
     }
@@ -190,10 +231,11 @@ def main():
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
     ap.add_argument("--replicas", type=int, default=8)
+    ap.add_argument("--beta-min", type=float, default=0.15)
     args = ap.parse_args()
     if args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
-                     args.seed, args.max_depth)
+                     args.seed, args.max_depth, args.beta_min)
     else:
         out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
     print(json.dumps(out))

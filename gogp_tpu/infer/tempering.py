@@ -103,6 +103,83 @@ class PTResult(NamedTuple):
     betas: Array
 
 
+def pt_init(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    betas: Array,
+    init_step_size: float = 0.1,
+    free: Array | None = None,
+):
+    """Replica-stacked initial state + loop key for chunked driving."""
+    position0 = jnp.asarray(position0)
+    n_replicas = betas.shape[0]
+    if position0.ndim == 1:
+        position0 = jnp.broadcast_to(position0, (n_replicas,) + position0.shape)
+    key, key_init = jax.random.split(jnp.asarray(rng))
+    init_keys = jax.random.split(key_init, n_replicas)
+
+    def init_one(q, k, beta):
+        return init_state(lambda v: beta * logp(v), q, k, init_step_size, free)
+
+    return jax.vmap(init_one)(position0, init_keys, betas), key
+
+
+def _make_steps(logp, betas, max_tree_depth, target_accept, free):
+    def transition(state, beta):
+        return nuts_transition(lambda v: beta * logp(v), state, max_tree_depth, free)
+
+    def warm_step(carry, inp):
+        states, key = carry
+        key, k_swap = jax.random.split(key)
+        states = jax.vmap(transition)(states, betas)
+        states = jax.vmap(
+            lambda s: warmup_step(s, inp["um"], inp["we"], target_accept)
+        )(states)
+        raw = states.logp / betas
+        states, raw, _ = _swap_sweep(states, betas, raw, k_swap, inp["t"] % 2)
+        return (states, key), None
+
+    def sample_step(carry, inp):
+        states, key = carry
+        key, k_swap = jax.random.split(key)
+        states = jax.vmap(transition)(states, betas)
+        raw = states.logp / betas
+        states, raw, swap_frac = _swap_sweep(states, betas, raw, k_swap, inp["t"] % 2)
+        return (states, key), (states.position[0], raw[0], swap_frac)
+
+    return warm_step, sample_step
+
+
+def pt_warm_chunk(
+    logp, states, key, betas, um, we, t0,
+    max_tree_depth: int = 6, target_accept: float = 0.8, free=None,
+):
+    """Run len(um) warmup sweeps (transition + adapt + swap).  Chunk-callable:
+    the remote-TPU tunnel drops very long single dispatches, so benchmarks
+    drive warmup as a sequence of fixed-size chunks (same pattern as
+    benchmarks/ess_nuts.py for plain NUTS)."""
+    warm_step, _ = _make_steps(logp, betas, max_tree_depth, target_accept, free)
+    ts = t0 + jnp.arange(um.shape[0])
+    (states, key), _ = jax.lax.scan(
+        warm_step, (states, key), {"um": um, "we": we, "t": ts}
+    )
+    return states, key
+
+
+def pt_sample_chunk(
+    logp, states, key, betas, num: int, t0,
+    max_tree_depth: int = 6, free=None,
+):
+    """Run ``num`` sampling sweeps; returns cold-chain draws of the chunk."""
+    _, sample_step = _make_steps(logp, betas, max_tree_depth, 0.8, free)
+    ts = t0 + jnp.arange(num)
+    (states, key), (positions, raws, swap_fracs) = jax.lax.scan(
+        sample_step, (states, key), {"t": ts}
+    )
+    return states, key, positions, raws, swap_fracs
+
+
 def run_pt_nuts(
     logp: LogDensity,
     position0: Array,
@@ -128,54 +205,19 @@ def run_pt_nuts(
     else:
         betas = jnp.asarray(betas, dtype)
         n_replicas = betas.shape[0]
-    if position0.ndim == 1:
-        position0 = jnp.broadcast_to(position0, (n_replicas,) + position0.shape)
 
-    key, key_init = jax.random.split(jnp.asarray(rng))
-    init_keys = jax.random.split(key_init, n_replicas)
-
-    def init_one(q, k, beta):
-        return init_state(lambda v: beta * logp(v), q, k, init_step_size, free)
-
-    states = jax.vmap(init_one)(position0, init_keys, betas)
+    states, key = pt_init(logp, position0, rng, betas, init_step_size, free)
     sched = adapt.build_schedule(num_warmup)
 
-    def transition(state, beta):
-        return nuts_transition(
-            lambda v: beta * logp(v), state, max_tree_depth, free
-        )
-
-    # warmup: transition + per-replica adaptation + swap per sweep
-    def warm_step(carry, inp):
-        states, key = carry
-        key, k_swap = jax.random.split(key)
-        states = jax.vmap(transition)(states, betas)
-        states = jax.vmap(lambda s: warmup_step(s, inp["um"], inp["we"], target_accept))(
-            states
-        )
-        raw = states.logp / betas
-        states, raw, _ = _swap_sweep(states, betas, raw, k_swap, inp["t"] % 2)
-        return (states, key), None
-
     if num_warmup > 0:
-        ts = jnp.arange(num_warmup)
-        (states, key), _ = jax.lax.scan(
-            warm_step,
-            (states, key),
-            {"um": sched.update_mass, "we": sched.window_end, "t": ts},
+        states, key = pt_warm_chunk(
+            logp, states, key, betas, sched.update_mass, sched.window_end,
+            jnp.asarray(0), max_tree_depth, target_accept, free,
         )
         states = jax.vmap(finalize_warmup)(states)
 
-    def sample_step(carry, inp):
-        states, key = carry
-        key, k_swap = jax.random.split(key)
-        states = jax.vmap(transition)(states, betas)
-        raw = states.logp / betas
-        states, raw, swap_frac = _swap_sweep(states, betas, raw, k_swap, inp["t"] % 2)
-        return (states, key), (states.position[0], raw[0], swap_frac)
-
-    ts = jnp.arange(num_samples)
-    (states, _), (positions, raws, swap_fracs) = jax.lax.scan(
-        sample_step, (states, key), {"t": ts}
+    states, key, positions, raws, swap_fracs = pt_sample_chunk(
+        logp, states, key, betas, num_samples, jnp.asarray(num_warmup),
+        max_tree_depth, free,
     )
     return PTResult(positions, raws, jnp.mean(swap_fracs), states, betas)

@@ -57,7 +57,7 @@ def build_logp():
 
 def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
            num_samples: int = 512, seed: int = 0, max_depth: int = 6,
-           beta_min: float = 0.15):
+           beta_min: float = 0.05):
     """Parallel-tempered variant: ``chains`` independent ladders of
     ``n_replicas`` replicas; ESS from the cold (beta=1) chains.  Driven in
     CHUNK-sized dispatches like the plain-NUTS path (tunnel limits)."""
@@ -231,7 +231,7 @@ def main():
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
     ap.add_argument("--replicas", type=int, default=8)
-    ap.add_argument("--beta-min", type=float, default=0.15)
+    ap.add_argument("--beta-min", type=float, default=0.05)
     args = ap.parse_args()
     if args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,

@@ -18,6 +18,7 @@ from gogp_tpu.parallel.sample import (
     run_hmc_sharded,
     run_mcmc_sharded,
     run_nuts_sharded,
+    run_pt_sharded,
 )
 from gogp_tpu.parallel.large_n import make_rowsharded_logp, run_smc_large_n
 from gogp_tpu.parallel.smc_sharded import run_smc_sharded
@@ -34,6 +35,7 @@ __all__ = [
     "run_hmc_sharded",
     "run_mcmc_sharded",
     "run_nuts_sharded",
+    "run_pt_sharded",
     "run_smc_sharded",
     "shard_leading",
 ]

@@ -186,3 +186,43 @@ def run_mcmc_sharded(
 
 run_nuts_sharded = functools.partial(run_mcmc_sharded, kind="nuts")
 run_hmc_sharded = functools.partial(run_mcmc_sharded, kind="hmc")
+
+
+def run_pt_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    n_replicas: int = 4,
+    beta_min: float = 0.05,
+    num_warmup: int = 400,
+    num_samples: int = 500,
+    max_tree_depth: int = 6,
+    free: Array | None = None,
+):
+    """Parallel-tempered NUTS with independent ladders sharded over the mesh.
+
+    ``position0``: (n_chains, dim) — each chain owns a full replica ladder
+    (the ladder lives on one device; swaps are local).  Chains split over
+    the flattened mesh.  Returns a replica of
+    gogp_tpu.infer.tempering.PTResult with leading axis n_chains.
+    """
+    from gogp_tpu.infer.tempering import run_pt_nuts
+
+    position0 = jnp.asarray(position0)
+    n_chains = position0.shape[0]
+    n_dev = mesh.devices.size
+    if n_chains % n_dev != 0:
+        raise ValueError(f"{n_chains} chains not divisible by {n_dev} devices")
+    keys = jax.random.split(jnp.asarray(rng), n_chains)
+    sh = NamedSharding(mesh, P((CHAIN_AXIS, DATA_AXIS)))
+
+    def one(q, k):
+        return run_pt_nuts(
+            logp, q, k, n_replicas=n_replicas, beta_min=beta_min,
+            num_warmup=num_warmup, num_samples=num_samples,
+            max_tree_depth=max_tree_depth, free=free,
+        )
+
+    f = jax.jit(jax.vmap(one), in_shardings=(sh, sh))
+    return f(jax.device_put(position0, sh), jax.device_put(keys, sh))

@@ -135,3 +135,35 @@ class TestMesh:
     def test_too_many_devices_raises(self):
         with pytest.raises(ValueError):
             parallel.make_mesh(n_chain=16, n_data=1)
+
+
+class TestShardedPT:
+    def test_bimodal_mixing_sharded(self, mesh8):
+        """Chain-sharded PT ladders: every cold chain must visit both modes
+        of a target plain NUTS cannot cross."""
+
+        def bimodal(v):
+            a = -0.5 * jnp.sum((v - 4.0) ** 2) / 0.25
+            b = -0.5 * jnp.sum((v + 4.0) ** 2) / 0.25
+            return jnp.logaddexp(a, b)
+
+        x0 = jnp.full((8, 1), 4.0)
+        res = parallel.run_pt_sharded(
+            bimodal, x0, jax.random.PRNGKey(0), mesh8,
+            n_replicas=6, beta_min=0.02, num_warmup=300, num_samples=800,
+        )
+        pos = np.asarray(res.positions)  # (8, 800, 1)
+        frac_neg = (pos[:, :, 0] < 0).mean(axis=1)
+        assert np.all(frac_neg > 0.1) and np.all(frac_neg < 0.9), frac_neg
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        def logp(v):
+            return -0.5 * jnp.sum(v * v)
+
+        x0 = jnp.zeros((8, 2))
+        kwargs = dict(n_replicas=3, num_warmup=50, num_samples=40)
+        r8 = parallel.run_pt_sharded(logp, x0, jax.random.PRNGKey(1), mesh8, **kwargs)
+        r1 = parallel.run_pt_sharded(logp, x0, jax.random.PRNGKey(1), mesh1, **kwargs)
+        assert np.allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-8
+        )

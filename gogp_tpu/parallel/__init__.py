@@ -10,6 +10,7 @@ from gogp_tpu.parallel.mesh import (
     DATA_AXIS,
     chain_sharding,
     data_sharding,
+    init_multihost,
     make_mesh,
     replicated,
     shard_leading,
@@ -28,6 +29,7 @@ __all__ = [
     "DATA_AXIS",
     "chain_sharding",
     "data_sharding",
+    "init_multihost",
     "make_mesh",
     "make_rowsharded_logp",
     "replicated",

@@ -66,3 +66,36 @@ def shard_leading(mesh: Mesh, tree, axis: str = CHAIN_AXIS):
     """Place every array in ``tree`` with its leading axis split over ``axis``."""
     sh = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Initialize multi-host JAX (one process per host of a pod slice).
+
+    Thin wrapper over ``jax.distributed.initialize`` — with no arguments it
+    auto-detects the TPU pod environment (the normal case on Cloud TPU VMs).
+    After this, ``jax.devices()`` spans the whole slice and ``make_mesh``
+    builds meshes whose ``chain`` axis rides DCN across hosts while the
+    ``data`` axis stays on intra-slice ICI (pass the host-local device
+    count as ``n_data`` for that layout).  Returns the global device count.
+
+    Untestable in a single-chip environment; every collective this package
+    emits (psum/all_gather over named axes) is host-count agnostic, and the
+    CPU multi-device tests stand in for multi-process runs
+    (SURVEY.md §4 test plan).
+    """
+    if jax.process_count() == 1 and coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass  # single-process environment: nothing to join
+    return len(jax.devices())

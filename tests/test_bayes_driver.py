@@ -48,3 +48,24 @@ def test_engines_produce_forecast(study, engine):
     assert np.all(np.isfinite(vals[:, 2]))
     assert np.all(vals[:, 3] >= 0)
     assert any(l.startswith("# posterior theta mean") for l in out.splitlines())
+
+
+def test_warpedtime_full_joint():
+    """BASELINE config: warped-input full joint inference — latent inputs
+    sampled alongside thetas (free-mask pins first/last input + outputs)."""
+    out = run_driver(
+        [
+            "warpedtime",
+            "--engine", "nuts",
+            "--samples", "32",
+            "--warmup", "40",
+            "--chains", "2",
+            "--grid", "8",
+            "selfcheck",
+        ]
+    )
+    lines = [l for l in out.strip().splitlines() if l and not l.startswith("#")]
+    assert len(lines) == 8
+    vals = np.asarray([[float(v) for v in l.split(",")] for l in lines])
+    assert np.all(np.isfinite(vals[:, 2]))
+    assert np.all(vals[:, 3] >= 0)

@@ -146,14 +146,14 @@ def _build_subtree(
         n = c.n
         is_even = (n % 2) == 0
 
-        # even leaf: store checkpoint at slot popcount(n)
+        # even leaf: store checkpoint at slot popcount(n).  Written as a
+        # broadcast select over the (max_depth+1, dim) stack instead of a
+        # scatter — scatters serialize on TPU.
         slot = _popcount(n)
-        r_ckpts = jnp.where(
-            is_even, c.r_ckpts.at[slot].set(integ.momentum), c.r_ckpts
-        )
-        r_sum_ckpts = jnp.where(
-            is_even, c.r_sum_ckpts.at[slot].set(r_sum), c.r_sum_ckpts
-        )
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, c.r_ckpts.shape, 0)
+        write = is_even & (slot_ids == slot)
+        r_ckpts = jnp.where(write, integ.momentum[None, :], c.r_ckpts)
+        r_sum_ckpts = jnp.where(write, r_sum[None, :], c.r_sum_ckpts)
 
         # odd leaf: check the spans of size 2,4,...,2^t ending here
         idx_max = _popcount(n >> 1)

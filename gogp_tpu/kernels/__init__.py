@@ -7,10 +7,13 @@ from gogp_tpu.kernels.noise import (  # noqa: F401
 from gogp_tpu.kernels.stationary import (  # noqa: F401
     SQRT3,
     SQRT5,
+    linear,
     matern32,
     matern52,
     matern52_ref,
     normal,
     periodic,
+    rational_quadratic,
     rbf,
+    white,
 )

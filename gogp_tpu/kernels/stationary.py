@@ -75,6 +75,40 @@ def _matern52_pair(theta, xa, xb):
 matern52 = Kernel(1, _matern52_pair, "matern52")
 
 
+def _rq_pair(theta, xa, xb):
+    # Rational quadratic: (1 + d^2/(2 alpha l^2))^-alpha — a scale mixture of
+    # RBFs.  Not in the reference (its kernel set is Normal/Periodic/Matern,
+    # kernel/kernel.go); included for model-surface completeness.
+    l, alpha = theta[0], theta[1]
+    diff = xa - xb
+    d2 = jnp.sum(diff * diff)
+    return (1.0 + d2 / (2.0 * alpha * l * l)) ** (-alpha)
+
+
+rational_quadratic = Kernel(2, _rq_pair, "rational_quadratic")
+
+
+def _linear_pair(theta, xa, xb):
+    # Linear (dot-product) kernel about an offset c: <xa - c, xb - c>.
+    c = theta[0]
+    return jnp.sum((xa - c) * (xb - c))
+
+
+linear = Kernel(1, _linear_pair, "linear")
+
+
+def _white_pair(theta, xa, xb):
+    # White kernel as a *similarity* (exact-coincidence) kernel — variance
+    # only where xa == xb.  The reference expresses white noise through its
+    # noise kernels instead (kernel/noise.go); this form composes with sums.
+    diff = xa - xb
+    same = jnp.all(diff == 0.0)
+    return jnp.where(same, theta[0] * theta[0], 0.0)
+
+
+white = Kernel(1, _white_pair, "white")
+
+
 def _matern52_ref_pair(theta, xa, xb):
     # Reference-compatible Matérn-5/2.  The reference writes ``5/3*d*d``
     # (kernel/kernel.go:91) but Go integer constant division evaluates the

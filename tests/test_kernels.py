@@ -120,3 +120,50 @@ def test_multidim_inputs():
     d = 5.0 / 2.0
     want = (1 + SQRT3 * d) * np.exp(-SQRT3 * d)
     assert float(matern32(jnp.asarray([2.0]), xa, xb)) == pytest.approx(want)
+
+
+def test_rational_quadratic_limits():
+    """RQ -> RBF as alpha -> infinity; closed form at finite alpha."""
+    from gogp_tpu.kernels import rational_quadratic, rbf
+
+    xa, xb = jnp.array([0.3]), jnp.array([1.7])
+    l = 0.8
+    d2 = float((xa[0] - xb[0]) ** 2)
+    alpha = 2.5
+    want = (1 + d2 / (2 * alpha * l * l)) ** (-alpha)
+    got = float(rational_quadratic(jnp.array([l, alpha]), xa, xb))
+    assert np.isclose(got, want, atol=1e-12)
+    # large-alpha limit approaches the RBF value
+    big = float(rational_quadratic(jnp.array([l, 1e6]), xa, xb))
+    assert np.isclose(big, float(rbf(jnp.array([l]), xa, xb)), atol=1e-4)
+
+
+def test_linear_kernel():
+    from gogp_tpu.kernels import linear
+
+    xa, xb = jnp.array([2.0]), jnp.array([3.0])
+    assert np.isclose(float(linear(jnp.array([0.5]), xa, xb)), 1.5 * 2.5)
+
+
+def test_white_kernel():
+    from gogp_tpu.kernels import white
+
+    x = jnp.array([1.2])
+    assert np.isclose(float(white(jnp.array([0.7]), x, x)), 0.49)
+    assert float(white(jnp.array([0.7]), x, jnp.array([1.3]))) == 0.0
+
+
+def test_new_kernels_psd():
+    """Gram matrices of the new kernels must be PSD on random inputs."""
+    from gogp_tpu.kernels import linear, rational_quadratic, white
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(12, 1)))
+    for k, theta in [
+        (rational_quadratic, jnp.array([0.9, 1.7])),
+        (linear, jnp.array([0.2])),
+        (white, jnp.array([0.5])),
+    ]:
+        K = np.asarray(k.matrix(theta, x, x))
+        eig = np.linalg.eigvalsh(K + 1e-10 * np.eye(12))
+        assert eig.min() > -1e-8, (k.name, eig.min())

@@ -58,3 +58,30 @@ def test_timed():
     f = jax.jit(lambda x: x @ x)
     ms = utils.timed(f, jnp.ones((128, 128)), reps=3, warmup=1)
     assert ms > 0
+
+
+def test_pt_checkpoint_resume(tmp_path):
+    """Elasticity: a PT run checkpointed mid-stream resumes exactly —
+    the sampler-state pytree round-trips through orbax and pt_sample_chunk
+    continues from it."""
+    from gogp_tpu.infer.tempering import geometric_ladder, pt_init, pt_sample_chunk
+
+    def logp(v):
+        return -0.5 * jnp.sum(v * v)
+
+    betas = jnp.asarray(geometric_ladder(3, 0.2, jnp.float64))
+    states, key = pt_init(logp, jnp.zeros(2), jax.random.PRNGKey(0), betas)
+
+    # run one chunk, checkpoint, run second chunk two ways
+    states1, key1, _, _, _ = pt_sample_chunk(logp, states, key, betas, 10, jnp.asarray(0))
+    path = tmp_path / "pt_ckpt"
+    utils.save(path, (states1, key1))
+    restored_states, restored_key = utils.restore(path, like=(states1, key1))
+
+    _, _, pos_direct, _, _ = pt_sample_chunk(
+        logp, states1, key1, betas, 10, jnp.asarray(10)
+    )
+    _, _, pos_resumed, _, _ = pt_sample_chunk(
+        logp, restored_states, restored_key, betas, 10, jnp.asarray(10)
+    )
+    assert np.allclose(np.asarray(pos_direct), np.asarray(pos_resumed))

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from gogp_tpu.infer import adapt
 from gogp_tpu.infer.hmc import (
     HMCState,
-    Samples,
     finalize_warmup,
     init_state,
     warmup_step,
@@ -78,9 +77,6 @@ def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, par
     accept = valid & (jnp.log(u[left_idx]) < delta)
 
     src = jnp.where(accept, partner, idx)
-
-    def pick(x):
-        return x[src]
 
     # positions, raw values and gradients travel; tempered caches rescale
     new_pos = states.position[src]

@@ -33,8 +33,6 @@ latent-input studies keep the autodiff path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

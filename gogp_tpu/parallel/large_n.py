@@ -12,16 +12,16 @@ never materialized unsharded) and the blocked distributed Cholesky + solve
 (gogp_tpu.ops.distributed) reduce to the replicated LML scalar with
 psum/all_gather collectives.
 
-Mutation is random-walk Metropolis: the distributed factorization is a
-``fori_loop`` pipeline and therefore not reverse-differentiable — its
-custom VJP is future work; RWM needs only log-density values, which the
-collectives already provide.  Particle count stays moderate (the vmapped
-log-density batches the per-device covariance rows as (P, n/D, n)).
+Mutation: random-walk Metropolis by default (log-density only), or HMC —
+the distributed factorization's fori_loop pipeline is not reverse-
+differentiable, but the sharded LML carries an analytic custom VJP
+(ops/distributed.lml_rowsharded) and :func:`psum_grads` completes the
+cross-device parameter gradient, so gradient-guided mutation works too.
+Particle count stays moderate (the vmapped log-density batches the
+per-device covariance rows as (P, n/D, n)).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp

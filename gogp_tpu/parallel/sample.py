@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gogp_tpu.infer import adapt
-from gogp_tpu.infer.hmc import Samples, finalize_warmup, hmc_transition, init_state
+from gogp_tpu.infer.hmc import Samples, hmc_transition, init_state
 from gogp_tpu.infer.nuts import nuts_transition
 from gogp_tpu.parallel.mesh import CHAIN_AXIS, DATA_AXIS
 

@@ -57,7 +57,7 @@ def device_loop_time(f, *args, reps: int = DEVICE_REPS) -> float:
     @jax.jit
     def looped(*args):
         def body(c, _):
-            out = f(*jax.tree.map(lambda a: a + 0.0 * c, args))
+            out = f(*jax.tree.map(lambda a: a + jnp.asarray(1e-30, a.dtype) * c, args))
             leaf = jax.tree.leaves(out)[0]
             return jnp.ravel(leaf)[0].astype(jnp.float32), None
 

@@ -98,16 +98,32 @@ def cholesky_rowsharded(
 
         # -- 3. all-gather panel; masked trailing update ------------------
         panel = jax.lax.all_gather(panel_local, axis, tiled=True)  # (n, block)
-        # only subtract where BOTH row and column are strictly below the
-        # current block column (the trailing submatrix)
-        update = jax.lax.dot_general(
-            panel_local,
-            panel,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype,
-        )  # (n_local, n)
-        trailing = (col_ids >= c0 + block) & below
-        A_loc = A_loc - jnp.where(trailing, update, 0.0)
+        c1 = None if not isinstance(k, int) else (k + 1) * block
+        if c1 is not None and c1 >= n:
+            pass  # last block: no trailing submatrix
+        elif c1 is not None:
+            # unrolled path: k is static, so slice exactly the trailing
+            # columns — skips the ~2x wasted FLOPs of the masked full-width
+            # form (rows still need the mask: they're distributed)
+            update = jax.lax.dot_general(
+                panel_local,
+                panel[c1:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            )  # (n_local, n - c1)
+            update = jnp.where(below, update, 0.0)
+            A_loc = A_loc.at[:, c1:].add(-update)
+        else:
+            # traced k: subtract where BOTH row and column are strictly
+            # below the current block column (the trailing submatrix)
+            update = jax.lax.dot_general(
+                panel_local,
+                panel,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            )  # (n_local, n)
+            trailing = (col_ids >= c0 + block) & below
+            A_loc = A_loc - jnp.where(trailing, update, 0.0)
 
         # write the finished panel column into A (zero above the diagonal)
         keep = row_ids_local >= c0
@@ -225,11 +241,11 @@ def solve_upper_rowsharded(L_local: Array, b_local: Array, axis: str, block: int
     return out[:, 0] if vec else out
 
 
-def _lml_forward(K_local, y_local, axis, block):
+def _lml_forward(K_local, y_local, axis, block, unroll=False):
     n_local, n = K_local.shape
     rank = _rank(axis)
     row0 = rank * n_local
-    L_local = cholesky_rowsharded(K_local, axis, block)
+    L_local = cholesky_rowsharded(K_local, axis, block, unroll=unroll)
     z_local = solve_lower_rowsharded(L_local, y_local, axis, block)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0) + row0
@@ -241,9 +257,9 @@ def _lml_forward(K_local, y_local, axis, block):
     return lml, L_local, z_local
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def lml_rowsharded(
-    K_local: Array, y_local: Array, axis: str, block: int = 256
+    K_local: Array, y_local: Array, axis: str, block: int = 256, unroll: bool = False
 ) -> Array:
     """Large-N GP log marginal likelihood with K block-row-sharded.
 
@@ -260,16 +276,16 @@ def lml_rowsharded(
     backward pass).  This is what lets HMC/NUTS run on the sharded
     large-N log-density.
     """
-    lml, _, _ = _lml_forward(K_local, y_local, axis, block)
+    lml, _, _ = _lml_forward(K_local, y_local, axis, block, unroll)
     return lml
 
 
-def _lml_fwd(K_local, y_local, axis, block):
-    lml, L_local, z_local = _lml_forward(K_local, y_local, axis, block)
+def _lml_fwd(K_local, y_local, axis, block, unroll):
+    lml, L_local, z_local = _lml_forward(K_local, y_local, axis, block, unroll)
     return lml, (L_local, z_local)
 
 
-def _lml_bwd(axis, block, res, cot):
+def _lml_bwd(axis, block, unroll, res, cot):
     L_local, z_local = res
     n_local, n = L_local.shape
     rank = _rank(axis)
@@ -303,10 +319,14 @@ def _lml_bwd(axis, block, res, cot):
 lml_rowsharded.defvjp(_lml_fwd, _lml_bwd)
 
 
-def make_sharded_lml(mesh: Mesh, axis: str, block: int = 256):
-    """jit-compiled entry: (K row-sharded, y row-sharded) -> replicated lml."""
+def make_sharded_lml(mesh: Mesh, axis: str, block: int = 256, unroll: bool = False):
+    """jit-compiled entry: (K row-sharded, y row-sharded) -> replicated lml.
+
+    ``unroll=True`` unrolls the factorization's block loop so trailing
+    updates slice exactly the remaining columns (saves ~2x of the masked
+    full-width FLOPs; costs compile time proportional to n/block)."""
     fn = jax.shard_map(
-        lambda K, y: lml_rowsharded(K, y, axis, block),
+        lambda K, y: lml_rowsharded(K, y, axis, block, unroll),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
         out_specs=P(),

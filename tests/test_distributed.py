@@ -220,3 +220,23 @@ class TestLMLGradient:
         assert np.allclose(np.asarray(grad_s), np.asarray(grad_d), atol=1e-6), (
             np.asarray(grad_s), np.asarray(grad_d),
         )
+
+
+class TestUnrolledCholesky:
+    def test_unrolled_matches_fori(self, mesh):
+        n, block = 128, 16
+        K = spd_matrix(n, seed=30)
+        for unroll in (False, True):
+            f = shmap(
+                functools.partial(
+                    distributed.cholesky_rowsharded,
+                    axis=DATA_AXIS, block=block, unroll=unroll,
+                ),
+                mesh,
+                (P(DATA_AXIS, None),),
+                P(DATA_AXIS, None),
+            )
+            L = np.asarray(f(K))
+            assert np.allclose(
+                L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-8
+            ), unroll

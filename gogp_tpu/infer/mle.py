@@ -37,6 +37,11 @@ class OptResult(NamedTuple):
     value: Array  # logp at x
     iters: Array  # iterations actually taken
     converged: Array  # True if the gradient threshold was hit
+    # True if LBFGS stopped making progress (zero update from a failed
+    # linesearch) before converging — the analogue of gonum
+    # optimize.Minimize returning an error (reference tutorial.go:144-155:
+    # tolerated unless it happens before MINITERS, then logged).
+    stalled: Array
 
 
 def _run_optax(
@@ -77,7 +82,7 @@ def _run_optax(
         jnp.asarray(0.0, x0.dtype),
     )
     x, _, step, gmax, value = jax.lax.while_loop(cond, body, init_val)
-    return OptResult(x, -value, step, gmax < threshold)
+    return OptResult(x, -value, step, gmax < threshold, jnp.asarray(False))
 
 
 def adam(
@@ -129,11 +134,11 @@ def lbfgs(
         opt_state = opt.init(x0)
 
         def cond(carry):
-            _, _, step, gmax, _ = carry
-            return jnp.logical_and(step < iters, gmax >= threshold)
+            _, _, step, gmax, _, stalled = carry
+            return (step < iters) & (gmax >= threshold) & ~stalled
 
         def body(carry):
-            x, opt_state, step, _, _ = carry
+            x, opt_state, step, _, _, _ = carry
             value, grad = optax.value_and_grad_from_state(neg)(x, state=opt_state)
             if mask is not None:
                 grad = grad * mask
@@ -141,8 +146,15 @@ def lbfgs(
                 grad, opt_state, x, value=value, grad=grad, value_fn=neg
             )
             new_x = optax.apply_updates(x, updates)
-            gmax = jnp.max(jnp.abs(grad)) if grad.size else jnp.asarray(0.0, x.dtype)
-            return new_x, new_state, step + 1, gmax, value
+            if grad.size:
+                gmax = jnp.max(jnp.abs(grad))
+                # an exactly-zero step with the gradient still above
+                # threshold = the linesearch failed to move: a stall
+                stalled = jnp.max(jnp.abs(updates)) <= jnp.asarray(0.0, x.dtype)
+            else:
+                gmax = jnp.asarray(0.0, x.dtype)
+                stalled = jnp.asarray(False)
+            return new_x, new_state, step + 1, gmax, value, stalled
 
         init = (
             x0,
@@ -150,8 +162,10 @@ def lbfgs(
             jnp.asarray(0),
             jnp.asarray(jnp.inf, x0.dtype),
             jnp.asarray(0.0, x0.dtype),
+            jnp.asarray(False),
         )
-        x, _, step, gmax, value = jax.lax.while_loop(cond, body, init)
-        return OptResult(x, -value, step, gmax < threshold)
+        x, _, step, gmax, value, stalled = jax.lax.while_loop(cond, body, init)
+        converged = gmax < threshold
+        return OptResult(x, -value, step, converged, stalled & ~converged)
 
     return run(x0)

@@ -90,6 +90,12 @@ rational_quadratic = Kernel(2, _rq_pair, "rational_quadratic")
 
 def _linear_pair(theta, xa, xb):
     # Linear (dot-product) kernel about an offset c: <xa - c, xb - c>.
+    #
+    # NOTE: under the flat-vector protocol every theta is exp-transformed
+    # (SURVEY.md §2.1-1), so c = exp(v) is constrained strictly positive —
+    # an offset c <= 0 is unreachable through GP.Observe.  A model that
+    # needs an unconstrained offset should compose the offset outside the
+    # theta block (e.g. a warp combinator shifting the inputs) instead.
     c = theta[0]
     return jnp.sum((xa - c) * (xb - c))
 

@@ -203,6 +203,8 @@ def blocked_trsm_lower(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
 def blocked_trsm_lower_t(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
     """X = L^{-T} B (transpose solve), statically unrolled, bottom-up."""
     n = L.shape[-1]
+    if n % block != 0:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
     nb = n // block
     if B.ndim == 1:
         return blocked_trsm_lower_t(L, B[:, None], block)[:, 0]
@@ -218,8 +220,16 @@ def blocked_trsm_lower_t(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Arra
 
 
 def _phi(A: Array) -> Array:
-    """tril(A) with the diagonal halved — the Cholesky pullback projector."""
-    return jnp.tril(A) - 0.5 * jnp.diag(jnp.diagonal(A))
+    """tril(A) with the diagonal halved — the Cholesky pullback projector.
+
+    Diagonal extracted with a broadcasted-iota equality mask: ``jnp.diag``
+    of a vector lowers to a TPU scatter (measured ~40 ms at n=4096,
+    DESIGN.md par.3) and this sits on the gradient hot path.
+    """
+    n = A.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.tril(A) - 0.5 * jnp.where(r == c, A, 0.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -53,7 +53,10 @@ class EvalConfig:
 
     alg: str = "lbfgs"  # -a: "lbfgs" | "adam"
     iters: int = 1000  # ITERS (major iterations)
-    min_iters: int = 10  # MINITERS (lbfgs stall reporting)
+    # MINITERS: an LBFGS failure (stall) is tolerated silently unless it
+    # happens before this many iterations, in which case it is logged and
+    # the run continues (reference tutorial.go:144-155).
+    min_iters: int = 10
     threshold: float = 1e-6  # THRESHOLD (gradient)
     rate: float = 0.01  # RATE (adam)
     minopt: int = 0  # MINOPT: optimize only when n > minopt
@@ -203,12 +206,13 @@ def evaluate(
         lml = lp(v)
         post = posterior(v, mask)
         mu, sigma = predict_from_posterior(gp, post, z[None, :])
-        return v, lml0, lml, mu[0], sigma[0]
+        early_stall = res.stalled & (res.iters < cfg.min_iters) & opt_this
+        return v, lml0, lml, mu[0], sigma[0], res.iters, early_stall
 
     tio.progress("Forecasting...")
     if cfg.batched:
         fit_all = jax.jit(jax.vmap(fit_one))
-        v_all, lml0_all, lml_all, mu_all, sigma_all = fit_all(
+        v_all, lml0_all, lml_all, mu_all, sigma_all, iters_all, stall_all = fit_all(
             v_init, masks, frees, xj, do_opt
         )
     else:
@@ -216,8 +220,17 @@ def evaluate(
         outs = [
             fit_jit(v_init[e], masks[e], frees[e], xj[e], do_opt[e]) for e in range(n)
         ]
-        v_all, lml0_all, lml_all, mu_all, sigma_all = (
-            jnp.stack([o[i] for o in outs]) for i in range(5)
+        v_all, lml0_all, lml_all, mu_all, sigma_all, iters_all, stall_all = (
+            jnp.stack([o[i] for o in outs]) for i in range(7)
+        )
+
+    # MINITERS stall reporting (reference tutorial.go:144-155): a stalled
+    # optimizer is tolerated, but a stall before min_iters is logged; the
+    # run always continues with whatever point the optimizer reached.
+    for e in np.flatnonzero(np.asarray(stall_all)):
+        tio.progress(
+            f"{e}: optimization stuck after {int(np.asarray(iters_all)[e])} "
+            f"iterations (< {cfg.min_iters})"
         )
 
     v_all = np.asarray(v_all)

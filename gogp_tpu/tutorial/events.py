@@ -79,8 +79,11 @@ def selfcheck_data() -> str:
 
 
 def _extra_flags(ap):
+    # "-events" alias: the reference CLI uses Go-style single-dash long
+    # flags (events/main.go:31-34); both spellings are drop-in compatible.
     ap.add_argument(
         "--events",
+        "-events",
         default="",
         help='comma separated colon connected event list "from:to:discount,..."',
     )

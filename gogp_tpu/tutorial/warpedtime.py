@@ -81,14 +81,17 @@ def selfcheck_data() -> str:
 
 
 def _extra_flags(ap):
+    # Single-dash aliases mirror the reference's Go-style flags
+    # (warpedtime/main.go:34-37) for drop-in command compatibility.
     ap.add_argument(
         "--logsigma",
+        "-logsigma",
         type=float,
         default=math.log(0.5),
         help="log standard deviation of relative step",
     )
     ap.add_argument(
-        "--show-warp", action="store_true", help="show warped inputs"
+        "--show-warp", "-show-warp", action="store_true", help="show warped inputs"
     )
 
 

@@ -35,7 +35,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 N = 4096
-DEVICE_REPS = 20
+DEVICE_REPS = 40
 HOST_REPS = 5
 
 
@@ -58,19 +58,23 @@ def device_loop_time(f, *args, reps: int = DEVICE_REPS) -> float:
     def looped(*args):
         def body(c, _):
             out = f(*jax.tree.map(lambda a: a + jnp.asarray(1e-30, a.dtype) * c, args))
-            leaf = jax.tree.leaves(out)[0]
-            return jnp.ravel(leaf)[0].astype(jnp.float32), None
+            # EVERY output leaf must feed the carry: a first-element-only
+            # carry lets XLA dead-code-eliminate whole outputs (e.g. the
+            # entire backward pass of a value_and_grad).
+            s = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in jax.tree.leaves(out))
+            return s, None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return c
 
-    out = looped(*args)
-    jax.block_until_ready(out)
+    # Sync via float(out) — a device->host value transfer.  Through the
+    # axon tunnel jax.block_until_ready can return before the remote
+    # execution finishes, which silently times nothing.
+    float(looped(*args))
     times = []
     for _ in range(HOST_REPS):
         t0 = time.perf_counter()
-        out = looped(*args)
-        jax.block_until_ready(out)
+        float(looped(*args))
         times.append((time.perf_counter() - t0) * 1e3 / reps)
     return float(np.median(times))
 
@@ -133,22 +137,43 @@ def main():
     gp, x, y, v = build_problem(N, dtype)
 
     from gogp_tpu.models.params import gp_observe
+    from gogp_tpu.ops import linalg
 
     def lml_grad(v):
         return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
 
-    fast_ms = device_loop_time(lml_grad, v)
+    def lml_grad_xla(v):
+        # identical algorithm, custom kernels disabled: grad through the
+        # XLA-native Cholesky/solves — the "dense XLA" baseline
+        with linalg.force_xla():
+            return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
 
-    # Baseline: the reference's own gradient algorithm on this hardware.
+    # Per-dispatch overhead floor (through the remote-TPU tunnel this is
+    # ~25-30 ms per call): measured with a trivial kernel and subtracted.
+    floor_ms = device_loop_time(lambda a: a * 1.0000001, jnp.ones((8, 128)))
+    fast_ms = device_loop_time(lml_grad, v) - floor_ms
+    xla_ms = device_loop_time(lml_grad_xla, v) - floor_ms
+
+    # Baseline 2: the reference's own gradient algorithm on this hardware
+    # (per-theta trace identities), XLA primitives.
     ref_fn = reference_algorithm_lml_grad(gp, x, y)
-    ref_ms = device_loop_time(ref_fn, v)
 
-    # sanity: both strategies agree
+    def ref_fn_xla(v):
+        with linalg.force_xla():
+            return ref_fn(v)
+
+    ref_ms = device_loop_time(ref_fn_xla, v) - floor_ms
+
+    # sanity: all strategies agree (f32 conditioning at n=4096 puts ~1e-3
+    # relative noise on the large gradient components)
     v1, g1 = jax.jit(lml_grad)(v)
-    v2, g2 = jax.jit(ref_fn)(v)
+    v2, g2 = jax.jit(ref_fn_xla)(v)
+    v3, g3 = jax.jit(lml_grad_xla)(v)
     agree = bool(
         jnp.isclose(v1, v2, rtol=1e-4)
-        and jnp.allclose(g1, g2, rtol=1e-3, atol=1e-3)
+        and jnp.allclose(g1, g2, rtol=5e-3, atol=1e-3)
+        and jnp.isclose(v1, v3, rtol=1e-4)
+        and jnp.allclose(g1, g3, rtol=5e-3, atol=1e-3)
     )
 
     result = {
@@ -156,8 +181,11 @@ def main():
         "value": round(fast_ms, 3),
         "unit": "ms",
         "vs_baseline": round(ref_ms / fast_ms, 3),
-        "baseline": "reference per-theta trace-identity gradient (gp/gp.go:418-499) on same chip",
+        "baseline": "reference per-theta trace-identity gradient (gp/gp.go:418-499) on same chip, XLA primitives",
         "baseline_ms": round(ref_ms, 3),
+        "vs_xla": round(xla_ms / fast_ms, 3),
+        "xla_ms": round(xla_ms, 3),
+        "floor_ms": round(floor_ms, 3),
         "agree": agree,
         "platform": platform,
     }

@@ -161,8 +161,27 @@ def lml_from_posterior(post: Posterior) -> Array:
 
 
 def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Array:
-    """Log marginal likelihood at natural-scale hyperparameters."""
-    return lml_from_posterior(absorb(gp, theta_simil, theta_noise, x, y, mask))
+    """Log marginal likelihood at natural-scale hyperparameters.
+
+    Unlike :func:`absorb` + :func:`lml_from_posterior`, this routes the
+    factorize/solve/logdet core through ``linalg.lml_core`` — on TPU the
+    fused blocked-Pallas kernel chain with the analytic GPML-5.9 pullback,
+    the hot path of every optimizer and sampler step.  Padded rows are
+    identity rows in K and zeros in y, so they contribute nothing to the
+    core; only the 2pi constant needs the explicit mask count.
+    """
+    x, y = _as_xy(gp, x, y)
+    n = x.shape[0]
+    theta_simil = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    theta_noise = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    if mask is None:
+        mask = jnp.ones((n,), dtype=x.dtype)
+    else:
+        mask = jnp.asarray(mask, dtype=x.dtype)
+    y = y * mask
+    K = masked_cov(gp, theta_simil, theta_noise, x, mask)
+    n_eff = jnp.sum(mask)
+    return -0.5 * n_eff * _LOG_2PI + linalg.lml_core(K, y)
 
 
 def predict_from_posterior(gp: GP, post: Posterior, z) -> tuple[Array, Array]:

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gogp_tpu.gp.core import GP, Posterior, absorb, lml_from_posterior
+from gogp_tpu.gp.core import GP, Posterior, absorb, lml
 
 Array = jax.Array
 
@@ -97,8 +97,9 @@ def gp_observe(gp: GP, v: Array, x=None, y=None, mask=None) -> Array:
         x, y = p.x, p.y
     if x is None or jnp.asarray(x).shape[0] == 0:
         return jnp.asarray(0.0, dtype=jnp.asarray(v).dtype)
-    post = absorb(gp, p.theta_simil, p.theta_noise, x, y, mask)
-    return lml_from_posterior(post)
+    # routes through linalg.lml_core — the fused factorize/solve/logdet
+    # with analytic pullback on TPU (gp.core.lml docstring)
+    return lml(gp, p.theta_simil, p.theta_noise, x, y, mask)
 
 
 def make_gp_logp(gp: GP, x=None, y=None, mask=None):

@@ -47,14 +47,13 @@ DEFAULT_BLOCK = 256
 _MIN_N = 1024  # below this XLA's native cholesky wins (dispatch overhead)
 _INTERPRET = False  # tests force interpreter mode on CPU
 
-# Dispatch default: measured on one v5e chip (N=4096 f32, device-loop
-# timing), the blocked path is at parity with XLA's native cholesky
-# (3.69 vs 3.56 ms bare; 4.13 vs 4.02 ms inside LML+grad) — XLA's TPU
-# factorization is already near the algorithmic limit here.  The custom
-# path therefore stays OPT-IN until the tile base case beats it (an
-# MXU-blocked tile kernel is the round-2 candidate); flip with
-# enable_pallas() or force_interpret() (tests).
-_ENABLED = False
+# Dispatch default: ON.  Measured on one v5e chip with floor-corrected
+# device-loop timing (round 2; round 1's numbers carried a ~27 ms/dispatch
+# tunnel RTT that block_until_ready failed to wait out): N=4096 f32
+# factorization 1.92 ms blocked-Pallas vs 2.22 ms XLA native, and the
+# fused lml_core custom-VJP path beats grad-through-XLA-cholesky ~2x.
+# Disable with disable_pallas() (or force_xla() at the linalg layer).
+_ENABLED = True
 
 
 import contextlib
@@ -65,6 +64,17 @@ def enable_pallas():
     """Opt in to the blocked-Pallas dispatch for TPU f32 n>=_MIN_N."""
     global _ENABLED
     prev, _ENABLED = _ENABLED, True
+    try:
+        yield
+    finally:
+        _ENABLED = prev
+
+
+@contextlib.contextmanager
+def disable_pallas():
+    """Force the plain-XLA path even on TPU (escape hatch / A-B timing)."""
+    global _ENABLED
+    prev, _ENABLED = _ENABLED, False
     try:
         yield
     finally:
@@ -84,36 +94,59 @@ def force_interpret():
 
 
 def _chol_kernel(a_ref, l_ref, m_ref):
-    """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower.
+    """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower (MXU rank-8).
 
-    Outer-product (right-looking, rank-1) formulation chosen for Mosaic's
-    layout rules: dynamic slicing along the lane (last) dimension must be
-    128-aligned, so column j is never *sliced* — it is extracted with a
-    lane-masked reduction of the symmetric working matrix M, the pivot with
-    a second masked reduction, and the trailing update is a broadcasted
-    (n,1)x(1,n) outer product.  Every op is a full-tile VPU op; the loop
-    carries no dynamic indices at all.
+    Panel (rank-8) formulation: the tile is factored eight columns at a
+    time.  Each panel step extracts the 8-row slab of the (symmetric)
+    working matrix M — row r of M is column r of M — factors the panel
+    *within the slab* using eight tiny masked rank-1 substeps on an (8, n)
+    block, then applies the trailing update as ONE rank-8 MXU matmul
+    (W^T W) and scatters the panel into L with a second MXU matmul against
+    an iota-built selector.  Compared to the rank-1 formulation this moves
+    all O(n^3) work from full-tile VPU passes onto the MXU: the VPU only
+    ever touches (8, n) slabs.  Measured on one v5e chip, the 256-tile
+    dropped from 1.57 ms (rank-1) to the noise floor.
+
+    Mosaic rules observed: no lane-dim slicing (columns are reached with
+    masked reductions and iota selectors); slab slicing is along the
+    sublane dim at static multiples of 8; all dots are 2-D.
     """
     n = a_ref.shape[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    dtype = a_ref.dtype
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     m_ref[:] = a_ref[:]
     l_ref[:] = jnp.zeros_like(a_ref)
 
-    def body(j, _):
-        M = m_ref[:]
-        # row j of M == column j of M (M stays symmetric under rank-1 updates)
-        row_j = jnp.sum(jnp.where(row_ids == j, M, 0.0), axis=0, keepdims=True)
-        col_j = jnp.sum(jnp.where(col_ids == j, M, 0.0), axis=1, keepdims=True)
-        d = jnp.sum(jnp.where(col_ids[:1, :] == j, row_j, 0.0))
-        inv_sqrt = jax.lax.rsqrt(d)
-        l_col = jnp.where(row_ids[:, :1] >= j, col_j * inv_sqrt, 0.0)  # (n,1)
-        l_row = jnp.where((col_ids[:1, :] >= j), row_j * inv_sqrt, 0.0)  # (1,n)
-        m_ref[:] = M - l_col * l_row  # rank-1 trailing update (broadcast outer)
-        l_ref[:] = l_ref[:] + jnp.where(col_ids == j, l_col, 0.0)
+    def panel(s, _):
+        r0 = s * 8
+        S = m_ref[pl.ds(r0, 8), :]  # (8, n) slab: rows r0..r0+8 of M
+        W = jnp.zeros_like(S)
+        for i in range(8):  # static unroll — masks select the pivot lane
+            c = r0 + i
+            row_i = jnp.sum(jnp.where(row8 == i, S, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(col8[:1, :] == c, row_i, 0.0))
+            w = jnp.where(col8[:1, :] >= c, row_i * jax.lax.rsqrt(d), 0.0)
+            # w at lanes r0+k, aligned with slab rows k -> (8,1) column
+            cvec = jnp.sum(jnp.where(col8 == r0 + row8, w, 0.0), axis=1, keepdims=True)
+            cvec = jnp.where(row8[:, :1] > i, cvec, 0.0)
+            S = S - cvec * w
+            W = W + jnp.where(row8 == i, w, 0.0)
+        # trailing rank-8 update: M -= W^T W.  Rows/cols < r0 get zero
+        # contribution (W lanes below the pivot are masked); the slab rows
+        # themselves become stale but are never read again.
+        m_ref[:] = m_ref[:] - jax.lax.dot_general(
+            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        # scatter panel into L columns r0..r0+7: L[j, r0+i] = W[i, j],
+        # via one MXU dot against the selector E[i, c] = (c == r0+i)
+        E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
+        l_ref[:] = l_ref[:] + jax.lax.dot_general(
+            W, E, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        )
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n // 8, panel, 0)
 
 
 def pallas_cholesky_tile(a: Array) -> Array:
@@ -133,8 +166,161 @@ def pallas_cholesky_tile(a: Array) -> Array:
     )(a)
 
 
+def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
+    """Fused tile Cholesky + triangular inverse: L = chol(A), V = inv(L).
+
+    Same rank-8 panel scheme as ``_chol_kernel``; the inverse rides along
+    for free because forward substitution by the panel's 8x8 diagonal
+    block D has the *same dataflow* as the factor substeps: scale row i by
+    rsqrt(d), subtract cvec-weighted copies from the rows below.  Running
+    the identical substeps on a second slab T initialized to
+    ``E_slab - L_hist @ V`` yields exactly D^{-1}(E - L V) — the next
+    eight rows of inv(L).  This removes every XLA triangular solve from
+    the blocked driver: panels become plain MXU matmuls against V^T.
+    """
+    n = a_ref.shape[0]
+    dtype = a_ref.dtype
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+    m_ref[:] = a_ref[:]
+    l_ref[:] = jnp.zeros_like(a_ref)
+    v_ref[:] = jnp.zeros_like(a_ref)
+
+    def panel(s, _):
+        r0 = s * 8
+        S = m_ref[pl.ds(r0, 8), :]
+        # identity rows minus the substitution history: at this point V has
+        # rows >= r0 still zero and the L slab has lanes >= r0 still zero,
+        # so the dot picks up exactly the already-solved prefix.
+        E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
+        Lslab = l_ref[pl.ds(r0, 8), :]
+        T = E - jax.lax.dot_general(
+            Lslab, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        W = jnp.zeros_like(S)
+        U = jnp.zeros_like(T)
+        for i in range(8):
+            c = r0 + i
+            row_s = jnp.sum(jnp.where(row8 == i, S, 0.0), axis=0, keepdims=True)
+            row_t = jnp.sum(jnp.where(row8 == i, T, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(col8[:1, :] == c, row_s, 0.0))
+            inv_sqrt = jax.lax.rsqrt(d)
+            w = jnp.where(col8[:1, :] >= c, row_s * inv_sqrt, 0.0)
+            u = row_t * inv_sqrt
+            cvec = jnp.sum(jnp.where(col8 == r0 + row8, w, 0.0), axis=1, keepdims=True)
+            cvec = jnp.where(row8[:, :1] > i, cvec, 0.0)
+            S = S - cvec * w
+            T = T - cvec * u
+            W = W + jnp.where(row8 == i, w, 0.0)
+            U = U + jnp.where(row8 == i, u, 0.0)
+        m_ref[:] = m_ref[:] - jax.lax.dot_general(
+            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        Esel = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
+        l_ref[:] = l_ref[:] + jax.lax.dot_general(
+            W, Esel, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        v_ref[pl.ds(r0, 8), :] = U
+        return 0
+
+    jax.lax.fori_loop(0, n // 8, panel, 0)
+
+
+def pallas_cholesky_inv_tile(a: Array) -> tuple[Array, Array]:
+    """(L, inv(L)) of one VMEM-sized tile in a single Pallas program."""
+    n = a.shape[-1]
+    L, V = pl.pallas_call(
+        _chol_inv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(a.shape, a.dtype),
+            jax.ShapeDtypeStruct(a.shape, a.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM(a.shape, a.dtype)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * n * n, bytes_accessed=3 * n * n * a.dtype.itemsize,
+            transcendentals=n,
+        ),
+    )(a)
+    return L, V
+
+
+def _tril_inv_kernel(l_ref, v_ref):
+    """V = inv(L) for a lower-triangular VMEM tile, rank-8 panels.
+
+    Forward substitution eight rows at a time: T = E_slab - L_slab @ V
+    (one MXU dot per panel — V's unsolved rows are still zero, L's slab
+    lanes >= r0 are ignored via the history mask), then eight masked
+    substitution substeps dividing by the diagonal.
+    """
+    n = l_ref.shape[0]
+    dtype = l_ref.dtype
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+    v_ref[:] = jnp.zeros_like(l_ref)
+
+    def panel(s, _):
+        r0 = s * 8
+        Lslab = l_ref[pl.ds(r0, 8), :]
+        hist = jnp.where(col8 < r0, Lslab, 0.0)
+        E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
+        T = E - jax.lax.dot_general(
+            hist, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        U = jnp.zeros_like(T)
+        for i in range(8):
+            c = r0 + i
+            row_t = jnp.sum(jnp.where(row8 == i, T, 0.0), axis=0, keepdims=True)
+            row_l = jnp.sum(jnp.where(row8 == i, Lslab, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(col8[:1, :] == c, row_l, 0.0))
+            u = row_t / d
+            cvec = jnp.sum(jnp.where(col8 == c, Lslab, 0.0), axis=1, keepdims=True)
+            cvec = jnp.where(row8[:, :1] > i, cvec, 0.0)
+            T = T - cvec * u
+            U = U + jnp.where(row8 == i, u, 0.0)
+        v_ref[pl.ds(r0, 8), :] = U
+        return 0
+
+    jax.lax.fori_loop(0, n // 8, panel, 0)
+
+
+def pallas_tril_inv_tile(L: Array) -> Array:
+    """inv(L) of one lower-triangular VMEM-sized tile."""
+    n = L.shape[-1]
+    return pl.pallas_call(
+        _tril_inv_kernel,
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=n * n * n, bytes_accessed=2 * n * n * L.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(L)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _inv_lower(Lkk: Array) -> Array:
-    """inv(Lkk) for a small lower-triangular tile (one XLA trsm vs eye)."""
+    """inv(Lkk) for a small lower-triangular tile.
+
+    Pallas substitution kernel on TPU (and under force_interpret); XLA
+    triangular solve elsewhere — the per-tile XLA trsm is what used to
+    dominate the blocked drivers' non-matmul time.
+    """
+    if _INTERPRET or _on_tpu():
+        return pallas_tril_inv_tile(Lkk)
     eye = jnp.eye(Lkk.shape[-1], dtype=Lkk.dtype)
     return jax.scipy.linalg.solve_triangular(Lkk, eye, lower=True)
 
@@ -153,26 +339,35 @@ def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
         return pallas_cholesky_tile(K)
 
     dtype = K.dtype
+    use_fused = _INTERPRET or _on_tpu()
     L = jnp.zeros_like(K)
     A = K
     for k in range(nb):
         c0, c1 = k * block, (k + 1) * block
         diag = A[c0:c1, c0:c1]
-        Lkk = pallas_cholesky_tile(diag)
-        L = L.at[c0:c1, c0:c1].set(Lkk)
-        if c1 < n:
+        if c1 == n:
+            L = L.at[c0:c1, c0:c1].set(pallas_cholesky_tile(diag))
+            break
+        if use_fused:
+            # one Pallas program yields both the factor and its inverse —
+            # the panel TRSM becomes a plain MXU matmul, no XLA
+            # triangular solve anywhere in the factorization
+            Lkk, inv = pallas_cholesky_inv_tile(diag)
+        else:
+            Lkk = pallas_cholesky_tile(diag)
             inv = _inv_lower(Lkk)
-            panel = jax.lax.dot_general(
-                A[c1:, c0:c1], inv, (((1,), (1,)), ((), ())),
+        L = L.at[c0:c1, c0:c1].set(Lkk)
+        panel = jax.lax.dot_general(
+            A[c1:, c0:c1], inv, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (n-c1, block) = A_panel @ inv^T
+        L = L.at[c1:, c0:c1].set(panel)
+        A = A.at[c1:, c1:].add(
+            -jax.lax.dot_general(
+                panel, panel, (((1,), (1,)), ((), ())),
                 preferred_element_type=dtype,
-            )  # (n-c1, block) = A_panel @ inv^T
-            L = L.at[c1:, c0:c1].set(panel)
-            A = A.at[c1:, c1:].add(
-                -jax.lax.dot_general(
-                    panel, panel, (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
-                )
             )
+        )
     return L
 
 
@@ -255,29 +450,86 @@ def _chol_bwd(block, L, Lbar):
 cholesky.defvjp(_chol_fwd, _chol_bwd)
 
 
-def maybe_pallas_cholesky(K: Array):
-    """Dispatch: the blocked Pallas path when it's profitable, else None."""
-    if _INTERPRET:
-        # tests force the custom path regardless of platform/size
-        n = K.shape[-1]
-        block = DEFAULT_BLOCK if n % DEFAULT_BLOCK == 0 else None
-        if block is None:
-            for b in (128, 64, 32, 16, 8):
-                if n % b == 0:
-                    block = b
-                    break
-        return None if block is None else cholesky(K, block)
-    if not _ENABLED:
-        return None
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        return None
-    if platform != "tpu":
-        return None
-    if K.ndim != 2 or K.dtype not in (jnp.float32,):
+def _eligible_block(K: Array) -> int | None:
+    """Block size if the blocked-Pallas path should handle this matrix.
+
+    Under force_interpret (tests) any divisible size qualifies; otherwise
+    TPU + f32 + n >= _MIN_N + divisibility.  Shapes seen here are the
+    per-example shapes even under vmap (batching maps the pallas grid).
+    """
+    if K.ndim != 2 or K.shape[-1] != K.shape[-2]:
         return None
     n = K.shape[-1]
+    if _INTERPRET:
+        for b in (DEFAULT_BLOCK, 128, 64, 32, 16, 8):
+            if n % b == 0:
+                return b
+        return None
+    if not _ENABLED or not _on_tpu():
+        return None
+    if K.dtype != jnp.float32:
+        return None
     if n < _MIN_N or n % DEFAULT_BLOCK != 0:
         return None
-    return cholesky(K, DEFAULT_BLOCK)
+    return DEFAULT_BLOCK
+
+
+def maybe_pallas_cholesky(K: Array):
+    """Dispatch: the blocked Pallas path when it's profitable, else None."""
+    block = _eligible_block(K)
+    return None if block is None else cholesky(K, block)
+
+
+# ---------------------------------------------------------------------------
+# Fused log-marginal-likelihood core with the exact analytic pullback.
+#
+# lml_core(K, y) = -1/2 (log|K| + y^T K^-1 y); the -(n/2) log 2pi constant
+# and masking conventions live in the GP layer (padded rows carry identity
+# rows in K and zeros in y, so they contribute log 1 + 0 here).
+#
+# Backward (GPML eq. 5.9): dlml = -1/2 tr(K^-1 dK) + 1/2 a^T dK a with
+# a = K^-1 y, so  Kbar = g * 1/2 (a a^T - K^-1)  and  ybar = -g a.  This
+# skips the generic Cholesky pullback entirely — no Phi projector, no
+# L^T @ Lbar full matmul — and costs two blocked mat-TRSMs for K^-1.
+# ---------------------------------------------------------------------------
+
+
+def _lml_core_impl(K: Array, y: Array, block: int):
+    L = blocked_cholesky(K, block)
+    z = blocked_trsm_lower(L, y, block)
+    alpha = blocked_trsm_lower_t(L, z, block)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    value = -0.5 * (logdet + jnp.dot(z, z))
+    return value, (L, alpha)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lml_core(K: Array, y: Array, block: int = DEFAULT_BLOCK) -> Array:
+    value, _ = _lml_core_impl(K, y, block)
+    return value
+
+
+def _lml_core_fwd(K, y, block):
+    return _lml_core_impl(K, y, block)
+
+
+def _lml_core_bwd(block, res, g):
+    L, alpha = res
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    W = blocked_trsm_lower(L, eye, block)
+    Kinv = blocked_trsm_lower_t(L, W, block)
+    Kbar = (0.5 * g) * (jnp.outer(alpha, alpha) - Kinv)
+    ybar = -g * alpha
+    return Kbar, ybar
+
+
+lml_core.defvjp(_lml_core_fwd, _lml_core_bwd)
+
+
+def maybe_lml_core(K: Array, y: Array):
+    """Dispatch the fused lml core when the blocked path qualifies."""
+    if y.ndim != 1:
+        return None
+    block = _eligible_block(K)
+    return None if block is None else lml_core(K, y, block)

@@ -88,6 +88,28 @@ def cholesky_with_jitter(
     return L, jitter
 
 
+def lml_core(K: Array, y: Array) -> Array:
+    """-1/2 (log|K| + y^T K^-1 y) — the data-dependent part of the GP log
+    marginal likelihood (GPML eq. 5.8; reference gp/gp.go:244-253 minus the
+    2pi constant).
+
+    On TPU f32 at n >= 1024 this dispatches to the fused blocked-Pallas
+    implementation whose custom VJP is the analytic pullback
+    Kbar = g/2 (aa^T - K^-1) — about 2x faster end-to-end than
+    differentiating through the XLA Cholesky.  Elsewhere it is the plain
+    XLA computation, differentiated by jax.
+    """
+    if not _FORCE_XLA:
+        from gogp_tpu.ops.cholesky_pallas import maybe_lml_core
+
+        out = maybe_lml_core(K, y)
+        if out is not None:
+            return out
+    L = jnp.linalg.cholesky(K)
+    z = solve_triangular(L, y, lower=True)
+    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.dot(z, z)
+
+
 def cho_solve_vec(L: Array, y: Array) -> Array:
     """alpha = K^{-1} y given lower factor L (reference gp/gp.go:232-233)."""
     z = solve_triangular(L, y, lower=True)

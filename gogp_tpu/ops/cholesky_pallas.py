@@ -469,7 +469,14 @@ def _eligible_block(K: Array) -> int | None:
         return None
     if K.dtype != jnp.float32:
         return None
-    if n < _MIN_N or n % DEFAULT_BLOCK != 0:
+    if n < _MIN_N:
+        return None
+    # Larger tiles amortize per-step HBM traffic at large n: measured 16k
+    # f32 factorization 48.5 ms at block 512 vs 80.9 at 256 (XLA: 72.5).
+    # 1024-tiles blow up Mosaic compile time — do not raise further.
+    if n >= 8192 and n % 512 == 0:
+        return 512
+    if n % DEFAULT_BLOCK != 0:
         return None
     return DEFAULT_BLOCK
 

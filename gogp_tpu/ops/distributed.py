@@ -158,15 +158,15 @@ def solve_lower_rowsharded(L_local: Array, b_local: Array, axis: str, block: int
     row0 = rank * n_local
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0) + row0
 
-    def step(k, y_local):
+    def step(k, carry):
+        # Trailing-update block substitution: the carry's residual already
+        # equals b - L[:, :c0] y[:c0], so the only communication per step
+        # is the psum-broadcast of the solved (block, m) block and the
+        # (block, block) diagonal tile — O(b m + b^2), never a gather of
+        # the full partial solution.
+        resid_local, y_local = carry
         c0 = jnp.asarray(k * block, jnp.int32)
-        # full y so far (only entries < c0 are final; rest are zero)
-        y_full = jax.lax.all_gather(y_local, axis, tiled=True)  # (n, m)
-        col_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < c0
-        y_known = jnp.where(col_mask, y_full, 0.0)
-        resid_local = b_local - L_local @ y_known  # (n_local, m)
 
-        # rows of this block: psum-broadcast their residual and L rows
         in_blk = (row_ids >= c0) & (row_ids < c0 + block)
         local_start = jnp.clip(c0 - row0, 0, n_local - block)
         have = jnp.all(jax.lax.dynamic_slice_in_dim(in_blk, local_start, block, 0))
@@ -177,13 +177,19 @@ def solve_lower_rowsharded(L_local: Array, b_local: Array, axis: str, block: int
 
         y_blk = jax.scipy.linalg.solve_triangular(L_blk, r_blk, lower=True)
 
+        # local trailing update: resid -= L[:, c0:c0+block] @ y_blk.  Rows
+        # above the block are untouched automatically (those L columns are
+        # zero in the lower triangle).
+        L_cols = jax.lax.dynamic_slice(L_local, (jnp.int32(0), c0), (n_local, block))
+        resid_local = resid_local - L_cols @ y_blk
+
         # owner writes the solved block into its local slice
         idx_in_blk = jnp.clip(row_ids - c0, 0, block - 1)
         y_local = jnp.where(in_blk[:, None], y_blk[idx_in_blk], y_local)
-        return y_local
+        return resid_local, y_local
 
     y0 = jnp.zeros((n_local, m), L_local.dtype)
-    out = jax.lax.fori_loop(0, nb, step, y0)
+    _, out = jax.lax.fori_loop(0, nb, step, (b_local, y0))
     return out[:, 0] if vec else out
 
 

@@ -4,21 +4,23 @@ sharded over the mesh and the Cholesky distributed (BASELINE.json config
 SMC over hyperparameters").
 
 Composition: the whole SMC sampler runs *inside* ``shard_map`` over the
-mesh's data axis with identical PRNG streams on every device, so all
-sampler control flow (tempering, resampling, mutation accept/reject) is
-replicated; only the log-density does distributed work — each device builds
-its block-rows of K(theta) directly from its shard of X (the covariance is
-never materialized unsharded) and the blocked distributed Cholesky + solve
-(gogp_tpu.ops.distributed) reduce to the replicated LML scalar with
-psum/all_gather collectives.
+full mesh.  The particle population is sharded over the non-data axes
+(weights/resampling gather over them, mutation keys derive from global
+particle indices — see parallel.smc_sharded.smc_loop); each particle's
+log-density does distributed work over the *data* axis — each device
+builds its block-rows of K(theta) directly from its shard of X (the
+covariance is never materialized unsharded) and the blocked distributed
+Cholesky + solve (gogp_tpu.ops.distributed) reduce to the replicated LML
+scalar with psum collectives.  Sampler control flow (tempering bisection,
+resampling) is replicated everywhere by identical PRNG streams.
 
-Mutation: random-walk Metropolis by default (log-density only), or HMC —
-the distributed factorization's fori_loop pipeline is not reverse-
-differentiable, but the sharded LML carries an analytic custom VJP
-(ops/distributed.lml_rowsharded) and :func:`psum_grads` completes the
-cross-device parameter gradient, so gradient-guided mutation works too.
-Particle count stays moderate (the vmapped log-density batches the
-per-device covariance rows as (P, n/D, n)).
+Mutation: HMC by default — the distributed factorization's fori_loop
+pipeline is not reverse-differentiable, but the sharded LML carries an
+analytic custom VJP (ops/distributed.lml_rowsharded) whose solves use the
+trailing-update block substitution (per-step comm O(b m), never a gather
+of the partial solution), and :func:`psum_grads` completes the
+cross-device parameter gradient.  "rwm" remains the log-density-only
+cheap option.
 """
 
 from __future__ import annotations
@@ -28,9 +30,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gogp_tpu.gp.core import GP
-from gogp_tpu.infer.smc import SMCResult, run_smc
+from gogp_tpu.infer.smc import SMCResult
 from gogp_tpu.ops.distributed import lml_rowsharded
 from gogp_tpu.parallel.mesh import DATA_AXIS
+from gogp_tpu.parallel.smc_sharded import _fold_rank, smc_loop
 
 Array = jax.Array
 
@@ -122,17 +125,22 @@ def run_smc_large_n(
     mask: Array | None = None,
     position0: Array | None = None,
     max_stages: int = 50,
-    mutation: str = "rwm",
+    mutation: str = "hmc",
 ) -> SMCResult:
-    """SMC posterior over log-thetas with N-sharded covariance work.
+    """SMC posterior over log-thetas with N-sharded covariance work AND the
+    particle population sharded over the remaining mesh axes.
 
     ``x``: (n, d), ``y``: (n,) with n divisible by the mesh's data-axis
-    size.  All other mesh axes must have size 1 (the particle population is
-    replicated; sharding particles over chips composes in round 2).
+    size.  Every non-data mesh axis with size > 1 shards particles: a
+    (chain=C, data=D) mesh gives each device P/C particles and n/D rows of
+    each particle's covariance — each particle's LML/gradient collectives
+    ride the data axis while weights/resampling gather over the chain axis.
+    2x4 / 4x2 / 1x8 meshes produce identical posteriors up to float
+    reassociation (mutation keys derive from global particle indices).
 
-    ``mutation``: "rwm" (default — cheapest, log-density only) or "hmc"
-    (gradient-guided, using the sharded LML's custom VJP with the
-    cross-device psum baked in via :func:`psum_grads`).
+    ``mutation``: "hmc" (default — gradient-guided, using the sharded
+    LML's custom VJP with the cross-device psum baked in via
+    :func:`psum_grads`) or "rwm" (log-density only, cheapest per step).
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
@@ -146,12 +154,25 @@ def run_smc_large_n(
         mask = jnp.ones(n, dtype=x.dtype)
     if position0 is None:
         position0 = jnp.zeros(gp.n_theta, dtype=x.dtype)
+    position0 = jnp.asarray(position0)
     rng = jnp.asarray(rng)
+    dim = position0.shape[0]
+    dtype = position0.dtype
 
-    other_axes = [a for a in mesh.axis_names if a != DATA_AXIS]
-    for a in other_axes:
-        if mesh.shape[a] != 1:
-            raise ValueError(f"axis {a} must have size 1 for large-N SMC")
+    particle_axes = tuple(
+        a for a in mesh.axis_names if a != DATA_AXIS and mesh.shape[a] > 1
+    )
+    n_part_dev = 1
+    for a in particle_axes:
+        n_part_dev *= mesh.shape[a]
+    if num_particles % n_part_dev != 0:
+        raise ValueError(
+            f"{num_particles} particles not divisible over {n_part_dev} "
+            f"particle-axis devices {particle_axes}"
+        )
+    p_local = num_particles // n_part_dev
+
+    key_init, key_loop = jax.random.split(rng)
 
     def device_fn(x_local, y_local, m_local):
         logp = make_rowsharded_logp(
@@ -160,26 +181,41 @@ def run_smc_large_n(
         )
         if mutation == "hmc":
             logp = psum_grads(logp, DATA_AXIS)
-        return run_smc(
+        # identical population on every device; keep my chain-axis slab
+        eps = jax.random.normal(key_init, (num_particles, dim), dtype)
+        particles0 = position0[None, :] + sigma0 * eps
+        if particle_axes:
+            rank = _fold_rank(particle_axes)
+            slab = jax.lax.dynamic_slice_in_dim(
+                particles0, rank * p_local, p_local, 0
+            )
+        else:
+            slab = particles0
+        return smc_loop(
             logp,
+            slab,
             position0,
-            rng,
-            num_particles=num_particles,
+            key_loop,
+            particle_axes,
+            num_particles,
             sigma0=sigma0,
             num_mcmc_steps=num_mcmc_steps,
             max_stages=max_stages,
+            free=None,
             mutation=mutation,
         )
 
     in_shard = P(DATA_AXIS)
     rep = P()
+    part_spec = P(particle_axes) if particle_axes else rep
     fn = jax.jit(
         jax.shard_map(
             device_fn,
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), in_shard, in_shard),
-            out_specs=SMCResult(rep, rep, rep, rep, rep),
+            out_specs=(part_spec, rep, rep, rep, rep),
             check_vma=False,
         )
     )
-    return fn(x, y, mask)
+    parts, log_z, stage, done, acc = fn(x, y, mask)
+    return SMCResult(parts, log_z, stage, done, acc)

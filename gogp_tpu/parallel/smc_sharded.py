@@ -10,7 +10,15 @@ multi-host pod").  Each device owns a slab of particles; per stage:
   vector are computed identically on every device from the gathered weights
   (same key -> same indices -> no divergence);
 - each device gathers the full particle set once and keeps its slab of the
-  resampled population; HMC mutation runs locally.
+  resampled population; HMC/RWM mutation runs locally.
+
+The loop itself (:func:`smc_loop`) is a shard_map-level function
+parameterized by *which* mesh axes shard the particle population, so it
+composes with data-parallel log-densities: ``run_smc_sharded`` shards
+particles over every device (chain x data), while
+``gogp_tpu.parallel.large_n.run_smc_large_n`` shards particles over the
+chain axis and lets each particle's row-sharded LML collectives ride the
+data axis — particle and data sharding simultaneously.
 
 Device-count invariance (same result on 1 and N devices up to the identical
 PRNG stream) is tested on the fake CPU mesh.
@@ -18,14 +26,14 @@ PRNG stream) is tested on the fake CPU mesh.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gogp_tpu.infer import smc as serial_smc
-from gogp_tpu.infer.smc import SMCResult, _hmc_mutate, _systematic_resample
+from gogp_tpu.infer.smc import SMCResult, _hmc_mutate, _rwm_mutate, _systematic_resample
 from gogp_tpu.parallel.mesh import CHAIN_AXIS, DATA_AXIS
 
 Array = jax.Array
@@ -34,12 +42,29 @@ LogDensity = Callable[[Array], Array]
 _LOG_2PI = 1.8378770664093453
 
 
-def run_smc_sharded(
+def _fold_rank(axes: Sequence[str]) -> Array:
+    """Device rank in the flattened (row-major) ordering of ``axes`` —
+    matches how P((a1, a2)) splits the particle axis."""
+    r = jnp.asarray(0, jnp.int32)
+    for a in axes:
+        r = r * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+    return r
+
+
+def _gather_axes(x: Array, axes: Sequence[str]) -> Array:
+    """all_gather over ``axes`` so the result is ordered axes[0]-major."""
+    for a in reversed(axes):
+        x = jax.lax.all_gather(x, a, tiled=True)
+    return x
+
+
+def smc_loop(
     logp: LogDensity,
+    particles_local: Array,
     position0: Array,
-    rng: Array,
-    mesh: Mesh,
-    num_particles: int = 512,
+    key_loop: Array,
+    particle_axes: Sequence[str],
+    num_particles: int,
     sigma0: float = 1.0,
     num_mcmc_steps: int = 5,
     n_leapfrog: int = 10,
@@ -47,23 +72,24 @@ def run_smc_sharded(
     max_stages: int = 100,
     bisection_iters: int = 20,
     free: Array | None = None,
-) -> SMCResult:
-    """Sharded counterpart of gogp_tpu.infer.smc.run_smc (same semantics)."""
-    position0 = jnp.asarray(position0)
+    mutation: str = "hmc",
+):
+    """Adaptive-tempering SMC on this device's particle slab.
+
+    MUST be called inside shard_map.  ``particle_axes`` are the mesh axes
+    sharding the particle population (weights/particles are gathered over
+    them); any *other* mesh axes are free for the log-density's own
+    collectives (e.g. the row-sharded large-N LML over the data axis) —
+    particles and all control flow are replicated across those axes.
+
+    Mutation keys derive from global particle indices, so results are
+    invariant to how the population is split over devices.
+    """
+    if mutation not in ("hmc", "rwm"):
+        raise ValueError(f"unknown mutation {mutation!r}")
     dim = position0.shape[0]
     dtype = position0.dtype
-    n_dev = mesh.devices.size
-    if num_particles % n_dev != 0:
-        raise ValueError(f"{num_particles} particles not divisible by {n_dev} devices")
-    if free is not None:
-        free = jnp.asarray(free, dtype=dtype)
-
-    key = jnp.asarray(rng)
-    key_init, key_loop = jax.random.split(key)
-    eps = jax.random.normal(key_init, (num_particles, dim), dtype)
-    if free is not None:
-        eps = eps * free[None, :]
-    particles0 = position0[None, :] + sigma0 * eps
+    p_local = particles_local.shape[0]
 
     def log_q0(v):
         z = (v - position0) / sigma0
@@ -103,88 +129,143 @@ def run_smc_sharded(
         lo, hi = jax.lax.fori_loop(0, bisection_iters, bis, (lo, hi))
         return jnp.where(ok_full, 1.0, lo)
 
-    p_local = num_particles // n_dev
+    rank = _fold_rank(particle_axes)
 
-    def all_gather(x):
-        # gather data-axis first so the result is (chain, data)-major — the
-        # same order P((CHAIN_AXIS, DATA_AXIS)) splits the input with
-        x = jax.lax.all_gather(x, DATA_AXIS, tiled=True)
-        return jax.lax.all_gather(x, CHAIN_AXIS, tiled=True)
+    def my_slab(full):
+        return jax.lax.dynamic_slice_in_dim(full, rank * p_local, p_local, 0)
 
-    def device_fn(particles_local):
-        def my_rank():
-            # device rank in the flattened (chain, data) mesh
-            return jax.lax.axis_index(CHAIN_AXIS) * jax.lax.axis_size(
-                DATA_AXIS
-            ) + jax.lax.axis_index(DATA_AXIS)
+    def cond(carry):
+        _, _, beta, stage, _, _ = carry
+        return (beta < 1.0) & (stage < max_stages)
 
-        def my_slab(full):
-            return jax.lax.dynamic_slice_in_dim(full, my_rank() * p_local, p_local, 0)
+    def body(carry):
+        parts, key, beta, stage, log_z, _ = carry
+        key, k_res, k_mut = jax.random.split(key, 3)
 
-        def cond(carry):
-            _, _, beta, stage, _, _ = carry
-            return (beta < 1.0) & (stage < max_stages)
+        lr_local = jax.vmap(log_ratio)(parts)
+        lr_local = jnp.where(jnp.isnan(lr_local), -jnp.inf, lr_local)
+        log_ratios = _gather_axes(lr_local, particle_axes)  # (P,)
+        beta_new = next_beta(beta, log_ratios)
+        lw = (beta_new - beta) * log_ratios
+        log_z = log_z + jax.scipy.special.logsumexp(lw) - jnp.log(
+            float(num_particles)
+        )
 
-        def body(carry):
-            parts, key, beta, stage, log_z, _ = carry
-            key, k_res, k_mut = jax.random.split(key, 3)
+        idx = _systematic_resample(k_res, lw)  # identical on all devices
+        full = _gather_axes(parts, particle_axes)  # (P, dim)
+        parts = my_slab(full[idx])
 
-            lr_local = jax.vmap(log_ratio)(parts)
-            lr_local = jnp.where(jnp.isnan(lr_local), -jnp.inf, lr_local)
-            log_ratios = all_gather(lr_local)  # (P,)
-            beta_new = next_beta(beta, log_ratios)
-            lw = (beta_new - beta) * log_ratios
-            log_z = log_z + jax.scipy.special.logsumexp(lw) - jnp.log(
-                float(num_particles)
+        std = jnp.sqrt(
+            jnp.maximum(
+                jnp.mean(jnp.square(full[idx]), axis=0)
+                - jnp.square(jnp.mean(full[idx], axis=0)),
+                0.0,
             )
+        )
+        if free is not None:
+            std = jnp.where(free > 0, std, 1.0)
+        inv_mass = jnp.maximum(std * std, 1e-10)
+        step_size = 0.5 / jnp.sqrt(jnp.asarray(dim, dtype))
 
-            idx = _systematic_resample(k_res, lw)  # identical on all devices
-            full = all_gather(parts)  # (P, dim)
-            parts = my_slab(full[idx])
-
-            std = jnp.sqrt(
-                jnp.maximum(
-                    jnp.mean(jnp.square(full[idx]), axis=0)
-                    - jnp.square(jnp.mean(full[idx], axis=0)),
-                    0.0,
-                )
+        def particle_keys(i):
+            # per-particle keys from GLOBAL indices: identical streams
+            # regardless of device count / particle-axis layout
+            keys_all = jax.random.split(
+                jax.random.fold_in(k_mut, i), num_particles
             )
-            if free is not None:
-                std = jnp.where(free > 0, std, 1.0)
-            inv_mass = jnp.maximum(std * std, 1e-10)
-            step_size = 0.5 / jnp.sqrt(jnp.asarray(dim, dtype))
+            return jax.lax.dynamic_slice_in_dim(keys_all, rank * p_local, p_local, 0)
+
+        if mutation == "hmc":
             vg = vg_beta_fn(beta_new)
 
             def mutate(i, pa):
                 p, _ = pa
-                # per-particle keys from GLOBAL indices: identical streams
-                # regardless of device count
-                keys_all = jax.random.split(
-                    jax.random.fold_in(k_mut, i), num_particles
-                )
-                keys = jax.lax.dynamic_slice_in_dim(
-                    keys_all, my_rank() * p_local, p_local, 0
-                )
                 p, accept_probs = _hmc_mutate(
-                    vg, p, keys, step_size, inv_mass, n_leapfrog, free
+                    vg, p, particle_keys(i), step_size, inv_mass, n_leapfrog, free
                 )
                 return p, jnp.mean(accept_probs)
 
-            parts, acc = jax.lax.fori_loop(
-                0, num_mcmc_steps, mutate, (parts, jnp.asarray(0.0, dtype))
-            )
-            return parts, key, beta_new, stage + 1, log_z, acc
+        else:  # rwm
 
-        init = (
-            particles_local,
-            key_loop,
-            jnp.asarray(0.0, dtype),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0.0, dtype),
-            jnp.asarray(0.0, dtype),
+            def logp_b(v):
+                return (1.0 - beta_new) * log_q0(v) + beta_new * logp(v)
+
+            rwm_scale = (2.38 / jnp.sqrt(jnp.asarray(dim, dtype))) * std
+
+            def mutate(i, pa):
+                p, _ = pa
+                p, accept_probs = _rwm_mutate(
+                    logp_b, p, particle_keys(i), rwm_scale, free
+                )
+                return p, jnp.mean(accept_probs)
+
+        parts, acc = jax.lax.fori_loop(
+            0, num_mcmc_steps, mutate, (parts, jnp.asarray(0.0, dtype))
         )
-        parts, _, beta, stage, log_z, acc = jax.lax.while_loop(cond, body, init)
-        return parts, log_z, stage, beta >= 1.0, acc
+        return parts, key, beta_new, stage + 1, log_z, acc
+
+    init = (
+        particles_local,
+        key_loop,
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    parts, _, beta, stage, log_z, acc = jax.lax.while_loop(cond, body, init)
+    return parts, log_z, stage, beta >= 1.0, acc
+
+
+def run_smc_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    num_particles: int = 512,
+    sigma0: float = 1.0,
+    num_mcmc_steps: int = 5,
+    n_leapfrog: int = 10,
+    ess_target: float = 0.5,
+    max_stages: int = 100,
+    bisection_iters: int = 20,
+    free: Array | None = None,
+    mutation: str = "hmc",
+) -> SMCResult:
+    """Sharded counterpart of gogp_tpu.infer.smc.run_smc (same semantics);
+    particles sharded over every mesh device (chain x data)."""
+    position0 = jnp.asarray(position0)
+    dim = position0.shape[0]
+    dtype = position0.dtype
+    n_dev = mesh.devices.size
+    if num_particles % n_dev != 0:
+        raise ValueError(f"{num_particles} particles not divisible by {n_dev} devices")
+    if free is not None:
+        free = jnp.asarray(free, dtype=dtype)
+
+    key = jnp.asarray(rng)
+    key_init, key_loop = jax.random.split(key)
+    eps = jax.random.normal(key_init, (num_particles, dim), dtype)
+    if free is not None:
+        eps = eps * free[None, :]
+    particles0 = position0[None, :] + sigma0 * eps
+
+    def device_fn(particles_local):
+        return smc_loop(
+            logp,
+            particles_local,
+            position0,
+            key_loop,
+            (CHAIN_AXIS, DATA_AXIS),
+            num_particles,
+            sigma0=sigma0,
+            num_mcmc_steps=num_mcmc_steps,
+            n_leapfrog=n_leapfrog,
+            ess_target=ess_target,
+            max_stages=max_stages,
+            bisection_iters=bisection_iters,
+            free=free,
+            mutation=mutation,
+        )
 
     shard = P((CHAIN_AXIS, DATA_AXIS))
     rep = P()

@@ -88,6 +88,27 @@ class TestRowShardedLogp:
 
 
 class TestLargeNSMC:
+    def test_mesh_composition_invariance(self, problem):
+        """2x4 / 4x2 / 1x8 meshes: particles shard over the chain axis and
+        each particle's LML collectives ride the data axis; identical
+        global PRNG streams must give the same posterior up to float
+        reassociation of the data-axis psums."""
+        gp, x, y = problem
+        results = []
+        for c, d in [(1, 8), (2, 4), (4, 2)]:
+            mesh = parallel.make_mesh(n_chain=c, n_data=d)
+            res = parallel.run_smc_large_n(
+                gp, x, y, jax.random.PRNGKey(0), mesh,
+                num_particles=64, sigma0=1.5, num_mcmc_steps=3, block=8,
+            )
+            assert bool(res.betas_hit_one), (c, d)
+            parts = np.asarray(res.particles)
+            assert np.all(np.isfinite(parts)), (c, d)
+            results.append(parts)
+        for r in results[1:]:
+            assert np.allclose(results[0].mean(axis=0), r.mean(axis=0), atol=5e-2)
+            assert np.allclose(results[0].std(axis=0), r.std(axis=0), atol=5e-2)
+
     def test_posterior_moments_match_serial(self, mesh, problem):
         gp, x, y = problem
         res = parallel.run_smc_large_n(

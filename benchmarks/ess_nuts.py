@@ -84,45 +84,51 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
     states, loop_keys = init(x0, keys)
     jax.block_until_ready(states)
 
+    # per-chain ladders: warmup adapts each chain's rungs to equal
+    # communication-barrier increments (Syed et al.), so betas become
+    # (chains, K) after the first chunk
+    betas_all = jnp.broadcast_to(betas, (chains, n_replicas))
+
     @jax.jit
-    def warm_chunk(states, loop_keys, um, we, t0):
+    def warm_chunk(states, loop_keys, betas_all, um, we, t0):
         return jax.vmap(
-            lambda s, k: pt_warm_chunk(logp, s, k, betas, um, we, t0, max_depth)
-        )(states, loop_keys)
+            lambda s, k, b: pt_warm_chunk(logp, s, k, b, um, we, t0, max_depth)
+        )(states, loop_keys, betas_all)
 
     t0w = time.perf_counter()
     for i in range(0, num_warmup, CHUNK):
-        states, loop_keys = warm_chunk(
-            states, loop_keys, sched.update_mass[i : i + CHUNK],
+        states, loop_keys, betas_all = warm_chunk(
+            states, loop_keys, betas_all, sched.update_mass[i : i + CHUNK],
             sched.window_end[i : i + CHUNK], jnp.asarray(i),
         )
-        jax.block_until_ready(states)
+    np.asarray(states.logp)  # sync (block_until_ready does not wait through the tunnel)
     warm_time = time.perf_counter() - t0w
     states = jax.jit(jax.vmap(jax.vmap(finalize_warmup)))(states)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def sample_chunk(states, loop_keys, num, t0):
-        def one(s, k):
-            s, k, pos, raws, sw = pt_sample_chunk(logp, s, k, betas, num, t0, max_depth)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def sample_chunk(states, loop_keys, betas_all, num, t0):
+        def one(s, k, b):
+            s, k, pos, raws, sw = pt_sample_chunk(logp, s, k, b, num, t0, max_depth)
             return s, k, pos, sw
 
-        return jax.vmap(one)(states, loop_keys)
+        return jax.vmap(one)(states, loop_keys, betas_all)
 
-    states_c, lk_c, _, _ = sample_chunk(states, loop_keys, CHUNK, jnp.asarray(0))
-    jax.block_until_ready(states_c)
+    states_c, lk_c, pos_c, _ = sample_chunk(
+        states, loop_keys, betas_all, CHUNK, jnp.asarray(0)
+    )
+    np.asarray(pos_c)  # warm the compile, synced
 
     chunks, swaps = [], []
     t0s = time.perf_counter()
     for i in range(0, num_samples, CHUNK):
         states, loop_keys, pos, sw = sample_chunk(
-            states, loop_keys, CHUNK, jnp.asarray(num_warmup + i)
+            states, loop_keys, betas_all, CHUNK, jnp.asarray(num_warmup + i)
         )
-        chunks.append(pos)
+        chunks.append(np.asarray(pos))  # forces device sync per chunk
         swaps.append(sw)
-        jax.block_until_ready(pos)
     walltime = time.perf_counter() - t0s
 
-    pos = np.concatenate([np.asarray(c) for c in chunks], axis=1)  # (chains, S, dim)
+    pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
     min_ess = float(ess_per_param.min())
     return {
@@ -176,7 +182,7 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
         states = warm_chunk(
             states, sched.update_mass[i : i + CHUNK], sched.window_end[i : i + CHUNK]
         )
-        jax.block_until_ready(states)
+    np.asarray(states.logp)  # sync (block_until_ready does not wait through the tunnel)
     warm_time = time.perf_counter() - t0
     states = jax.jit(jax.vmap(finalize_warmup))(states)
 
@@ -190,18 +196,17 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
         return states, jnp.swapaxes(pos, 0, 1)  # (chains, CHUNK, dim)
 
     # compile once (not timed), then time the sampling chunks
-    states_c, _ = sample_chunk(states)
-    jax.block_until_ready(states_c)
+    states_c, pos_c = sample_chunk(states)
+    np.asarray(pos_c)  # synced compile warmup
 
     chunks = []
     t0 = time.perf_counter()
     for _ in range(0, num_samples, CHUNK):
         states, pos = sample_chunk(states)
-        chunks.append(pos)
-        jax.block_until_ready(pos)
+        chunks.append(np.asarray(pos))  # forces device sync per chunk
     walltime = time.perf_counter() - t0
 
-    pos = np.concatenate([np.asarray(c) for c in chunks], axis=1)  # (chains, S, dim)
+    pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))  # (dim,)
     min_ess = float(ess_per_param.min())
     accept = float(np.mean(np.asarray(states.accept_prob)))

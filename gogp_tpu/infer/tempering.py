@@ -55,12 +55,16 @@ def geometric_ladder(n_replicas: int, beta_min: float = 0.1, dtype=jnp.float32) 
     )
 
 
-def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, parity: Array):
-    """One DEO swap sweep over adjacent pairs of the ladder.
+def swap_decision(betas: Array, raw_logp: Array, key: Array, parity: Array):
+    """DEO swap decisions for one sweep — pure function of the ladder state.
 
-    ``states``: replica-stacked HMCState; ``raw_logp``: (K,) untempered
-    log-density of each replica's position.  Returns swapped states/raws and
-    the per-pair acceptance indicator (for ladder diagnostics).
+    Returns ``(src, pair_probs, proposed, swap_frac)`` where ``src[k]`` is
+    the replica whose position slot k receives, ``pair_probs[i]`` is the
+    acceptance probability min(1, e^delta) of adjacent pair (i, i+1) (zero
+    when not proposed this sweep), and ``proposed[i]`` marks the pairs
+    proposed under this sweep's parity.  Factored out so the distributed
+    ladder (parallel.sample.run_pt_distributed) can apply the identical
+    decision to gathered replica state.
     """
     K = betas.shape[0]
     idx = jnp.arange(K)
@@ -77,7 +81,53 @@ def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, par
     accept = valid & (jnp.log(u[left_idx]) < delta)
 
     src = jnp.where(accept, partner, idx)
+    swap_frac = jnp.sum(accept.astype(raw_logp.dtype)) / jnp.maximum(
+        jnp.sum(valid.astype(raw_logp.dtype)), 1.0
+    )
 
+    # per adjacent pair (i, i+1): proposed iff i is a left member this sweep
+    pair_idx = idx[:-1]
+    proposed = (pair_idx % 2) == parity % 2
+    pair_delta = (betas[:-1] - betas[1:]) * (raw_logp[1:] - raw_logp[:-1])
+    pair_probs = jnp.where(
+        proposed, jnp.minimum(1.0, jnp.exp(pair_delta)), 0.0
+    )
+    return src, pair_probs, proposed, swap_frac
+
+
+def adapt_ladder_betas(betas: Array, rej_sum: Array, prop_count: Array) -> Array:
+    """Round-trip-optimal ladder update (Syed et al. 2019, §5.2).
+
+    The expected rejection rate r_i of adjacent pair i estimates the
+    communication-barrier increment Lambda(beta_i) - Lambda(beta_{i+1});
+    round trips are maximized when every pair rejects equally, i.e. when
+    the ladder places the K rungs at equal increments of the cumulative
+    barrier.  Piecewise-linear inversion of the empirical barrier on the
+    current grid; endpoints (beta=1, beta_min) stay pinned.
+    """
+    K = betas.shape[0]
+    r = rej_sum / jnp.maximum(prop_count, 1.0)  # (K-1,) mean rejection
+    # strictly increasing cumulative barrier (epsilon keeps interp stable
+    # when stretches of the ladder reject never)
+    lam = jnp.concatenate([jnp.zeros((1,), betas.dtype), jnp.cumsum(r)])
+    lam = lam + jnp.arange(K, dtype=betas.dtype) * 1e-6
+    targets = jnp.linspace(lam[0], lam[-1], K).astype(betas.dtype)
+    new = jnp.interp(targets, lam, betas)
+    new = new.at[0].set(betas[0]).at[-1].set(betas[-1])
+    return new
+
+
+def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, parity: Array):
+    """One DEO swap sweep over adjacent pairs of the ladder.
+
+    ``states``: replica-stacked HMCState; ``raw_logp``: (K,) untempered
+    log-density of each replica's position.  Returns swapped states/raws,
+    the sweep's accepted-swap fraction, and the per-pair statistics for
+    ladder adaptation.
+    """
+    src, pair_probs, proposed, swap_frac = swap_decision(
+        betas, raw_logp, key, parity
+    )
     # positions, raw values and gradients travel; tempered caches rescale
     new_pos = states.position[src]
     new_raw = raw_logp[src]
@@ -85,10 +135,7 @@ def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, par
     new_grad = raw_grad[src] * betas[:, None]
     new_logp = new_raw * betas
     new_states = states._replace(position=new_pos, logp=new_logp, grad=new_grad)
-    swap_frac = jnp.sum(accept.astype(raw_logp.dtype)) / jnp.maximum(
-        jnp.sum(valid.astype(raw_logp.dtype)), 1.0
-    )
-    return new_states, new_raw, swap_frac
+    return new_states, new_raw, swap_frac, pair_probs, proposed
 
 
 class PTResult(NamedTuple):
@@ -121,28 +168,58 @@ def pt_init(
     return jax.vmap(init_one)(position0, init_keys, betas), key
 
 
-def _make_steps(logp, betas, max_tree_depth, target_accept, free):
+def _make_steps(logp, max_tree_depth, target_accept, free, adapt_ladder):
     def transition(state, beta):
         return nuts_transition(lambda v: beta * logp(v), state, max_tree_depth, free)
 
     def warm_step(carry, inp):
-        states, key = carry
+        states, key, betas, rej_sum, prop_count = carry
         key, k_swap = jax.random.split(key)
         states = jax.vmap(transition)(states, betas)
         states = jax.vmap(
             lambda s: warmup_step(s, inp["um"], inp["we"], target_accept)
         )(states)
         raw = states.logp / betas
-        states, raw, _ = _swap_sweep(states, betas, raw, k_swap, inp["t"] % 2)
-        return (states, key), None
+        states, raw, _, pair_probs, proposed = _swap_sweep(
+            states, betas, raw, k_swap, inp["t"] % 2
+        )
+        rej_sum = rej_sum + jnp.where(proposed, 1.0 - pair_probs, 0.0)
+        prop_count = prop_count + proposed.astype(rej_sum.dtype)
+
+        if adapt_ladder:
+            # at each adaptation-window end, re-place the rungs at equal
+            # increments of the estimated communication barrier and
+            # re-temper the cached log-density/gradient (raw values are
+            # beta-free; step-size/mass stay with the temperature slot)
+            def update(args):
+                betas, rej_sum, prop_count, states = args
+                new_betas = adapt_ladder_betas(betas, rej_sum, prop_count)
+                raw_grad = states.grad / betas[:, None]
+                states = states._replace(
+                    logp=raw * new_betas,
+                    grad=raw_grad * new_betas[:, None],
+                )
+                return (
+                    new_betas,
+                    jnp.zeros_like(rej_sum),
+                    jnp.zeros_like(prop_count),
+                    states,
+                )
+
+            betas, rej_sum, prop_count, states = jax.lax.cond(
+                inp["we"], update, lambda a: a, (betas, rej_sum, prop_count, states)
+            )
+        return (states, key, betas, rej_sum, prop_count), None
 
     def sample_step(carry, inp):
-        states, key = carry
+        states, key, betas = carry
         key, k_swap = jax.random.split(key)
         states = jax.vmap(transition)(states, betas)
         raw = states.logp / betas
-        states, raw, swap_frac = _swap_sweep(states, betas, raw, k_swap, inp["t"] % 2)
-        return (states, key), (states.position[0], raw[0], swap_frac)
+        states, raw, swap_frac, _, _ = _swap_sweep(
+            states, betas, raw, k_swap, inp["t"] % 2
+        )
+        return (states, key, betas), (states.position[0], raw[0], swap_frac)
 
     return warm_step, sample_step
 
@@ -150,17 +227,20 @@ def _make_steps(logp, betas, max_tree_depth, target_accept, free):
 def pt_warm_chunk(
     logp, states, key, betas, um, we, t0,
     max_tree_depth: int = 6, target_accept: float = 0.8, free=None,
+    adapt_ladder: bool = True,
 ):
-    """Run len(um) warmup sweeps (transition + adapt + swap).  Chunk-callable:
-    the remote-TPU tunnel drops very long single dispatches, so benchmarks
-    drive warmup as a sequence of fixed-size chunks (same pattern as
-    benchmarks/ess_nuts.py for plain NUTS)."""
-    warm_step, _ = _make_steps(logp, betas, max_tree_depth, target_accept, free)
+    """Run len(um) warmup sweeps (transition + adapt + swap + ladder
+    adaptation).  Returns the (possibly re-placed) ladder alongside the
+    states.  Chunk-callable: the remote-TPU tunnel drops very long single
+    dispatches, so benchmarks drive warmup as a sequence of fixed-size
+    chunks (same pattern as benchmarks/ess_nuts.py for plain NUTS)."""
+    warm_step, _ = _make_steps(logp, max_tree_depth, target_accept, free, adapt_ladder)
     ts = t0 + jnp.arange(um.shape[0])
-    (states, key), _ = jax.lax.scan(
-        warm_step, (states, key), {"um": um, "we": we, "t": ts}
+    zeros = jnp.zeros((betas.shape[0] - 1,), betas.dtype)
+    (states, key, betas, _, _), _ = jax.lax.scan(
+        warm_step, (states, key, betas, zeros, zeros), {"um": um, "we": we, "t": ts}
     )
-    return states, key
+    return states, key, betas
 
 
 def pt_sample_chunk(
@@ -168,10 +248,10 @@ def pt_sample_chunk(
     max_tree_depth: int = 6, free=None,
 ):
     """Run ``num`` sampling sweeps; returns cold-chain draws of the chunk."""
-    _, sample_step = _make_steps(logp, betas, max_tree_depth, 0.8, free)
+    _, sample_step = _make_steps(logp, max_tree_depth, 0.8, free, False)
     ts = t0 + jnp.arange(num)
-    (states, key), (positions, raws, swap_fracs) = jax.lax.scan(
-        sample_step, (states, key), {"t": ts}
+    (states, key, _), (positions, raws, swap_fracs) = jax.lax.scan(
+        sample_step, (states, key, betas), {"t": ts}
     )
     return states, key, positions, raws, swap_fracs
 
@@ -189,10 +269,15 @@ def run_pt_nuts(
     init_step_size: float = 0.1,
     target_accept: float = 0.8,
     free: Array | None = None,
+    adapt_ladder: bool = True,
 ) -> PTResult:
     """Parallel-tempered NUTS; returns the cold-chain (beta=1) draws.
 
     ``position0``: (dim,) shared init, or (n_replicas, dim) per replica.
+    ``adapt_ladder``: re-place the rungs at equal increments of the
+    estimated communication barrier at every warmup window end (Syed et
+    al. 2019); the endpoints (1, beta_min) stay pinned.  The final ladder
+    is returned in ``PTResult.betas``.
     """
     position0 = jnp.asarray(position0)
     dtype = position0.dtype
@@ -206,9 +291,9 @@ def run_pt_nuts(
     sched = adapt.build_schedule(num_warmup)
 
     if num_warmup > 0:
-        states, key = pt_warm_chunk(
+        states, key, betas = pt_warm_chunk(
             logp, states, key, betas, sched.update_mass, sched.window_end,
-            jnp.asarray(0), max_tree_depth, target_accept, free,
+            jnp.asarray(0), max_tree_depth, target_accept, free, adapt_ladder,
         )
         states = jax.vmap(finalize_warmup)(states)
 

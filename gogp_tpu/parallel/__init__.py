@@ -19,6 +19,7 @@ from gogp_tpu.parallel.sample import (
     run_hmc_sharded,
     run_mcmc_sharded,
     run_nuts_sharded,
+    run_pt_distributed,
     run_pt_sharded,
 )
 from gogp_tpu.parallel.large_n import make_rowsharded_logp, run_smc_large_n
@@ -37,6 +38,7 @@ __all__ = [
     "run_hmc_sharded",
     "run_mcmc_sharded",
     "run_nuts_sharded",
+    "run_pt_distributed",
     "run_pt_sharded",
     "run_smc_sharded",
     "shard_leading",

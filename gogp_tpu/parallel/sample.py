@@ -188,6 +188,185 @@ run_nuts_sharded = functools.partial(run_mcmc_sharded, kind="nuts")
 run_hmc_sharded = functools.partial(run_mcmc_sharded, kind="hmc")
 
 
+def run_pt_distributed(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    n_replicas: int = 8,
+    beta_min: float = 0.05,
+    betas: Array | None = None,
+    num_warmup: int = 400,
+    num_samples: int = 500,
+    max_tree_depth: int = 6,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    free: Array | None = None,
+    adapt_ladder: bool = True,
+):
+    """ONE parallel-tempering ladder spanning the whole mesh.
+
+    Each device owns ``n_replicas / n_devices`` adjacent temperature slots
+    and runs their NUTS transitions + per-temperature step-size/mass
+    adaptation locally.  A DEO swap sweep gathers the (position, raw logp,
+    raw gradient) of all replicas — O(K * dim) scalars over ICI, tiny for
+    hyperparameter spaces — computes the identical swap decision on every
+    device from a replicated key (infer.tempering.swap_decision), and each
+    device keeps its slots' incoming states; step size and mass stay with
+    the temperature.  The beta ladder is replicated and adapted to equal
+    communication-barrier increments at every warmup window end (Syed et
+    al. 2019, infer.tempering.adapt_ladder_betas).
+
+    Unlike :func:`run_pt_sharded` (independent whole ladders per device),
+    this lets MORE DEVICES DEEPEN ONE LADDER: K scales with the mesh while
+    per-sweep comm stays O(K * dim).  Results are invariant to the device
+    count (same replica count, same PRNG streams — tested on the CPU
+    mesh).  Returns infer.tempering.PTResult with the cold-chain draws
+    replicated and ``state`` sharded over the mesh.
+    """
+    from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
+    from gogp_tpu.infer.tempering import (
+        PTResult,
+        adapt_ladder_betas,
+        geometric_ladder,
+        swap_decision,
+    )
+
+    position0 = jnp.asarray(position0)
+    dtype = position0.dtype
+    if betas is None:
+        betas0 = geometric_ladder(n_replicas, beta_min, dtype)
+    else:
+        betas0 = jnp.asarray(betas, dtype)
+        n_replicas = betas0.shape[0]
+    K = n_replicas
+    n_dev = mesh.devices.size
+    if K % n_dev != 0:
+        raise ValueError(f"{K} replicas not divisible by {n_dev} devices")
+    r_local = K // n_dev
+    if position0.ndim == 1:
+        position0 = jnp.broadcast_to(position0, (K,) + position0.shape)
+    key_loop, key_init = jax.random.split(jnp.asarray(rng))
+    init_keys = jax.random.split(key_init, K)
+    sched = adapt.build_schedule(num_warmup)
+
+    def gather(x):
+        x = jax.lax.all_gather(x, DATA_AXIS, tiled=True)
+        return jax.lax.all_gather(x, CHAIN_AXIS, tiled=True)
+
+    def device_fn(pos_local, keys_local):
+        r0 = (
+            jax.lax.axis_index(CHAIN_AXIS) * jax.lax.axis_size(DATA_AXIS)
+            + jax.lax.axis_index(DATA_AXIS)
+        ) * r_local
+
+        def betas_loc_of(b):
+            return jax.lax.dynamic_slice_in_dim(b, r0, r_local, 0)
+
+        states = jax.vmap(
+            lambda q, k, b: init_state(lambda v: b * logp(v), q, k, init_step_size, free)
+        )(pos_local, keys_local, betas_loc_of(betas0))
+
+        def transition(state, beta):
+            return nuts_transition(
+                lambda v: beta * logp(v), state, max_tree_depth=max_tree_depth, free=free
+            )
+
+        def swap(states, betas_full, k_swap, t):
+            betas_loc = betas_loc_of(betas_full)
+            raw_loc = states.logp / betas_loc
+            rawg_loc = states.grad / betas_loc[:, None]
+            raw_f = gather(raw_loc)
+            pos_f = gather(states.position)
+            rawg_f = gather(rawg_loc)
+            src, pair_probs, proposed, swap_frac = swap_decision(
+                betas_full, raw_f, k_swap, t % 2
+            )
+            my_src = jax.lax.dynamic_slice_in_dim(src, r0, r_local, 0)
+            new_raw = raw_f[my_src]
+            new_rawg = rawg_f[my_src]
+            states = states._replace(
+                position=pos_f[my_src],
+                logp=new_raw * betas_loc,
+                grad=new_rawg * betas_loc[:, None],
+            )
+            return (
+                states, new_raw, new_rawg, pair_probs, proposed, swap_frac,
+                pos_f[src[0]], raw_f[src[0]],
+            )
+
+        def warm_step(carry, inp):
+            states, key, betas_full, rej_sum, prop_count = carry
+            key, k_swap = jax.random.split(key)
+            betas_loc = betas_loc_of(betas_full)
+            states = jax.vmap(transition)(states, betas_loc)
+            states = jax.vmap(
+                lambda s: warmup_step(s, inp["um"], inp["we"], target_accept)
+            )(states)
+            states, new_raw, new_rawg, pair_probs, proposed, _, _, _ = swap(
+                states, betas_full, k_swap, inp["t"]
+            )
+            rej_sum = rej_sum + jnp.where(proposed, 1.0 - pair_probs, 0.0)
+            prop_count = prop_count + proposed.astype(rej_sum.dtype)
+
+            if adapt_ladder:
+
+                def update(args):
+                    betas_full, rej, cnt, states = args
+                    nb = adapt_ladder_betas(betas_full, rej, cnt)
+                    nb_loc = betas_loc_of(nb)
+                    states = states._replace(
+                        logp=new_raw * nb_loc, grad=new_rawg * nb_loc[:, None]
+                    )
+                    return nb, jnp.zeros_like(rej), jnp.zeros_like(cnt), states
+
+                betas_full, rej_sum, prop_count, states = jax.lax.cond(
+                    inp["we"], update, lambda a: a,
+                    (betas_full, rej_sum, prop_count, states),
+                )
+            return (states, key, betas_full, rej_sum, prop_count), None
+
+        def sample_step(carry, t):
+            states, key, betas_full = carry
+            key, k_swap = jax.random.split(key)
+            states = jax.vmap(transition)(states, betas_loc_of(betas_full))
+            states, _, _, _, _, swap_frac, cold_pos, cold_raw = swap(
+                states, betas_full, k_swap, t
+            )
+            return (states, key, betas_full), (cold_pos, cold_raw, swap_frac)
+
+        zeros = jnp.zeros((K - 1,), dtype)
+        betas_f = betas0
+        key = key_loop
+        if num_warmup > 0:
+            ts = jnp.arange(num_warmup)
+            (states, key, betas_f, _, _), _ = jax.lax.scan(
+                warm_step,
+                (states, key, betas_f, zeros, zeros),
+                {"um": sched.update_mass, "we": sched.window_end, "t": ts},
+            )
+            states = jax.vmap(finalize_warmup)(states)
+        ts2 = num_warmup + jnp.arange(num_samples)
+        (states, _, betas_f), (cold_pos, cold_raw, swap_fracs) = jax.lax.scan(
+            sample_step, (states, key, betas_f), ts2
+        )
+        return cold_pos, cold_raw, jnp.mean(swap_fracs), states, betas_f
+
+    shard = P((CHAIN_AXIS, DATA_AXIS))
+    rep = P()
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard, shard),
+            out_specs=(rep, rep, rep, shard, rep),
+            check_vma=False,
+        )
+    )
+    cold_pos, cold_raw, swap_rate, states, betas_f = fn(position0, init_keys)
+    return PTResult(cold_pos, cold_raw, swap_rate, states, betas_f)
+
+
 def run_pt_sharded(
     logp: LogDensity,
     position0: Array,

@@ -167,3 +167,50 @@ class TestShardedPT:
         assert np.allclose(
             np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-8
         )
+
+
+class TestDistributedPT:
+    """One PT ladder spanning the mesh (parallel.run_pt_distributed)."""
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        """K=8 replicas on 8 devices vs 1 device: identical PRNG streams
+        must produce identical cold-chain draws and adapted ladder."""
+
+        def logp(v):
+            return -0.5 * jnp.sum(v * v)
+
+        x0 = jnp.zeros(2)
+        kwargs = dict(n_replicas=8, num_warmup=60, num_samples=40, beta_min=0.1)
+        r8 = parallel.run_pt_distributed(logp, x0, jax.random.PRNGKey(1), mesh8, **kwargs)
+        r1 = parallel.run_pt_distributed(logp, x0, jax.random.PRNGKey(1), mesh1, **kwargs)
+        assert np.allclose(np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-8)
+        assert np.allclose(np.asarray(r8.betas), np.asarray(r1.betas), atol=1e-8)
+
+    def test_bimodal_mixing_distributed(self, mesh8):
+        def bimodal(v):
+            a = -0.5 * jnp.sum((v - 4.0) ** 2) / 0.25
+            b = -0.5 * jnp.sum((v + 4.0) ** 2) / 0.25
+            return jnp.logaddexp(a, b)
+
+        res = parallel.run_pt_distributed(
+            bimodal, jnp.full((1,), 4.0), jax.random.PRNGKey(0), mesh8,
+            n_replicas=8, beta_min=0.02, num_warmup=300, num_samples=800,
+        )
+        pos = np.asarray(res.positions)[:, 0]
+        frac_neg = float(np.mean(pos < 0))
+        assert 0.1 < frac_neg < 0.9, frac_neg
+        assert float(res.swap_rate) > 0.2
+
+    def test_ladder_adaptation_monotone_and_pinned(self, mesh8):
+        """Adapted ladder: endpoints pinned, strictly decreasing."""
+
+        def logp(v):
+            return -0.5 * jnp.sum(v * v) * 50.0  # sharp: forces nontrivial barrier
+
+        res = parallel.run_pt_distributed(
+            logp, jnp.zeros(2), jax.random.PRNGKey(3), mesh8,
+            n_replicas=8, beta_min=0.05, num_warmup=200, num_samples=20,
+        )
+        betas = np.asarray(res.betas)
+        assert np.isclose(betas[0], 1.0) and np.isclose(betas[-1], 0.05)
+        assert np.all(np.diff(betas) < 0), betas

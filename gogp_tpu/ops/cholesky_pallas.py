@@ -334,6 +334,11 @@ def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
     n = K.shape[-1]
     if n % block != 0:
         raise ValueError(f"n={n} must be a multiple of block={block}")
+    if block % 8 != 0:
+        raise ValueError(
+            f"block={block} must be a multiple of 8 (the tile kernels "
+            "factor in rank-8 slabs)"
+        )
     nb = n // block
     if nb == 1:
         return pallas_cholesky_tile(K)
@@ -371,12 +376,78 @@ def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
     return L
 
 
+# Unrolled block loops above this many steps produce HLO big enough to
+# stall XLA's optimizer (observed: the 16k gradient graph never finished
+# compiling); switch to fori_loop + dynamic slices beyond it.
+_MAX_UNROLL_STEPS = 24
+
+
+def _tile_invs(L: Array, block: int) -> Array:
+    """(nb, block, block) stack of inv(L_kk) diagonal-tile inverses."""
+    n = L.shape[-1]
+    nb = n // block
+    tiles = jnp.stack([L[k * block:(k + 1) * block, k * block:(k + 1) * block] for k in range(nb)])
+    if block % 8 == 0 and (_INTERPRET or _on_tpu()):
+        # vmapped pallas tile: batching maps the grid (the kernel's rank-8
+        # slabs need block to be a multiple of 8)
+        return jax.vmap(pallas_tril_inv_tile)(tiles)
+    eye = jnp.eye(block, dtype=L.dtype)
+    return jax.vmap(lambda t: jax.scipy.linalg.solve_triangular(t, eye, lower=True))(tiles)
+
+
+def _trsm_lower_fori(L: Array, B: Array, block: int) -> Array:
+    """fori_loop trailing-update forward substitution (compile-size-safe
+    for large nb at the cost of masked full-width row reads)."""
+    n = L.shape[-1]
+    nb = n // block
+    invs = _tile_invs(L, block)
+
+    def step(k, carry):
+        resid, X = carry
+        c0 = k * block
+        rhs = jax.lax.dynamic_slice(resid, (c0, 0), (block, B.shape[1]))
+        xk = invs[k] @ rhs
+        # trailing update: rows above c0+block see zero L columns
+        L_cols = jax.lax.dynamic_slice(L, (0, c0), (n, block))
+        resid = resid - L_cols @ xk
+        X = jax.lax.dynamic_update_slice(X, xk, (c0, 0))
+        return resid, X
+
+    _, X = jax.lax.fori_loop(0, nb, step, (B, jnp.zeros_like(B)))
+    return X
+
+
+def _trsm_lower_t_fori(L: Array, B: Array, block: int) -> Array:
+    """fori_loop transpose solve, bottom-up."""
+    n = L.shape[-1]
+    nb = n // block
+    invs = _tile_invs(L, block)
+
+    def step(t, carry):
+        resid, X = carry
+        k = nb - 1 - t
+        c0 = k * block
+        rhs = jax.lax.dynamic_slice(resid, (c0, 0), (block, B.shape[1]))
+        xk = invs[k].T @ rhs
+        # trailing update: resid[:c0+block] -= L[c0:c1, :].T rows' contribution
+        L_rows = jax.lax.dynamic_slice(L, (c0, 0), (block, n))
+        resid = resid - L_rows.T @ xk
+        X = jax.lax.dynamic_update_slice(X, xk, (c0, 0))
+        return resid, X
+
+    _, X = jax.lax.fori_loop(0, nb, step, (B, jnp.zeros_like(B)))
+    return X
+
+
 def blocked_trsm_lower(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
-    """X = L^{-1} B with L lower triangular, statically unrolled blocks.
+    """X = L^{-1} B with L lower triangular, blocked.
 
     Per block row: X[k] = inv(Lkk) @ (B[k] - L[k, :k] @ X[:k]) — the
     subtraction and the application of the inverted diagonal tile are MXU
-    matmuls; only the tiny tile inversions are triangular solves.
+    matmuls; tile inversions come from the Pallas substitution kernel.
+    Statically unrolled for small step counts (exact trailing slices, no
+    wasted FLOPs); fori_loop with dynamic slices beyond _MAX_UNROLL_STEPS
+    (the unrolled 16k gradient graph stalls XLA's optimizer).
     """
     n = L.shape[-1]
     if n % block != 0:
@@ -384,6 +455,8 @@ def blocked_trsm_lower(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
     nb = n // block
     if B.ndim == 1:
         return blocked_trsm_lower(L, B[:, None], block)[:, 0]
+    if nb > _MAX_UNROLL_STEPS:
+        return _trsm_lower_fori(L, B, block)
     X = jnp.zeros_like(B)
     for k in range(nb):
         c0, c1 = k * block, (k + 1) * block
@@ -396,13 +469,16 @@ def blocked_trsm_lower(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
 
 
 def blocked_trsm_lower_t(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
-    """X = L^{-T} B (transpose solve), statically unrolled, bottom-up."""
+    """X = L^{-T} B (transpose solve), bottom-up; unroll policy as
+    :func:`blocked_trsm_lower`."""
     n = L.shape[-1]
     if n % block != 0:
         raise ValueError(f"n={n} must be a multiple of block={block}")
     nb = n // block
     if B.ndim == 1:
         return blocked_trsm_lower_t(L, B[:, None], block)[:, 0]
+    if nb > _MAX_UNROLL_STEPS:
+        return _trsm_lower_t_fori(L, B, block)
     X = jnp.zeros_like(B)
     for k in reversed(range(nb)):
         c0, c1 = k * block, (k + 1) * block

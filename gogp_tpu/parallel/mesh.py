@@ -82,20 +82,22 @@ def init_multihost(
     ``data`` axis stays on intra-slice ICI (pass the host-local device
     count as ``n_data`` for that layout).  Returns the global device count.
 
-    Untestable in a single-chip environment; every collective this package
-    emits (psum/all_gather over named axes) is host-count agnostic, and the
-    CPU multi-device tests stand in for multi-process runs
-    (SURVEY.md §4 test plan).
+    Must run before any backend-initializing jax call (jax.devices,
+    computations, ...).  Rehearsed without hardware by
+    tests/test_multihost.py: two OS processes join a localhost
+    coordinator, each contributing one CPU device, and run a shard_map
+    psum across the resulting mesh.
     """
-    if jax.process_count() == 1 and coordinator_address is not None:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    elif jax.process_count() == 1:
-        try:
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
             jax.distributed.initialize()
-        except (ValueError, RuntimeError):
-            pass  # single-process environment: nothing to join
+    except (ValueError, RuntimeError):
+        # single-process environment (nothing to join) or already initialized
+        pass
     return len(jax.devices())

@@ -1,35 +1,48 @@
-"""Blocked Cholesky / TRSM for TPU: Pallas base kernel + MXU panel updates.
+"""Blocked Cholesky / TRSM / fused LML for TPU: Pallas tile kernels + MXU
+panel updates.
 
 Replaces gonum ``mat.Cholesky`` (reference gp/gp.go:228-233) on the hot
 path.  Design (SURVEY.md §7 PR2):
 
-- **Base case** (``_chol_kernel``): an unblocked column-oriented Cholesky of
-  a single VMEM-resident tile (block x block), one Pallas program.  Each of
-  the ``block`` iterations does one masked (n x n)@(n x 1) matvec on the
-  VPU plus a rsqrt — sequential by nature, so the tile is kept small and
-  everything stays on-chip.
+- **Tile base case** (``_chol_kernel`` / ``_chol_inv_kernel``): rank-8
+  panel factorization of a VMEM-resident tile — eight masked substeps on
+  an (8, n) slab per panel, one MXU matmul for the trailing rank-8 update
+  and one for the panel scatter.  The fused variant emits inv(L) in the
+  same program (forward substitution shares the factor substeps'
+  dataflow), so the blocked driver needs no XLA triangular solve at all.
 
-- **Blocked driver** (``blocked_cholesky``): right-looking factorization,
-  *statically unrolled* over block columns so every panel slice has a
-  static shape (no masked full-width work — the waste that would otherwise
-  triple the FLOPs).  Per step: Pallas-factor the diagonal tile, invert it
-  with one small XLA triangular solve, form the panel with one MXU matmul
-  (``A_panel @ inv(Lkk)^T`` — multiplication instead of a large TRSM), and
-  SYRK the trailing square with one MXU matmul.  All O(n^3) work lands on
-  the MXU.
+- **Blocked driver** (``blocked_cholesky_invs``): right-looking,
+  statically unrolled block columns; panels and SYRK trailing updates are
+  single MXU matmuls.  Tile inverses come out as a by-product.
 
-- **Gradient** (``cholesky`` custom_vjp): the standard Cholesky pullback
-  K_bar = P(L^-T Phi(L^T L_bar) L^-1) computed with two blocked TRSMs, so
-  ``jax.grad`` of the GP marginal likelihood never differentiates through
-  the factorization loop.
+- **Streaming vector solves** (``pallas_trsv_lower``/``_t``): the whole
+  vector TRSM as ONE sequential-grid Pallas program — L panels pipeline
+  from HBM, the solution persists in VMEM scratch, diagonal tiles apply
+  via their precomputed inverses.  Bandwidth-bound instead of
+  launch-latency-bound.
 
-- ``blocked_trsm_lower``: the same inverted-diagonal-block trick for
-  L^{-1} B, statically unrolled, used by both the VJP and prediction.
+- **Fused LML core** (``lml_core``): -(log|K| + y^T K^-1 y)/2 with a
+  custom VJP computing the analytic GPML-5.9 pullback
+  ``Kbar = g/2 (aa^T - K^-1)`` via two blocked TRSMs — no generic
+  Cholesky pullback, no extra full matmul.
 
-Dispatch: ``maybe_pallas_cholesky`` routes TPU float32 matrices with
-n >= _MIN_N (and n % block == 0) here; everything else falls back to
-``jnp.linalg.cholesky``.  On CPU the Pallas kernel runs in interpreter mode
-when forced (tests), never by default.
+- **Gradient of the bare factorization** (``cholesky`` custom_vjp): the
+  standard pullback K_bar = P(L^-T Phi(L^T L_bar) L^-1) with blocked
+  TRSMs, for callers differentiating through ``linalg.cholesky`` itself.
+
+Block loops unroll statically up to ``_MAX_UNROLL_STEPS`` (exact trailing
+slices); larger step counts switch to fori_loop + dynamic slices (the
+unrolled 16k gradient graph stalls XLA's optimizer).
+
+Dispatch: ``maybe_pallas_cholesky``/``maybe_lml_core`` route TPU float32
+matrices with n >= _MIN_N (block 256, or 512 for n >= 8192) here;
+everything else falls back to XLA primitives.  On CPU the Pallas kernels
+run in interpreter mode when forced (tests), never by default.
+
+Measured (v5e f32, floor-corrected device-loop timing, round 2): N=4096
+factorization 1.92 ms vs 2.22 ms XLA; LML+gradient 3.57 ms vs 17.5 ms
+XLA-AD vs 43.3 ms reference per-theta algorithm; N=16k factorization
+48.5 ms (block 512) vs 72.5 ms XLA.
 """
 
 from __future__ import annotations
@@ -325,9 +338,12 @@ def _inv_lower(Lkk: Array) -> Array:
     return jax.scipy.linalg.solve_triangular(Lkk, eye, lower=True)
 
 
-def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
+def blocked_cholesky_invs(K: Array, block: int = DEFAULT_BLOCK) -> tuple[Array, Array]:
     """Right-looking blocked Cholesky, statically unrolled block columns.
 
+    Returns ``(L, invs)`` where ``invs`` is the (nb, block, block) stack of
+    diagonal-tile inverses — a factorization by-product (the fused tile
+    kernel produces them anyway) reused by the streaming vector solves.
     Requires n % block == 0 (callers pad; the GP layer always can because
     its shapes are static).
     """
@@ -340,19 +356,14 @@ def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
             "factor in rank-8 slabs)"
         )
     nb = n // block
-    if nb == 1:
-        return pallas_cholesky_tile(K)
-
     dtype = K.dtype
     use_fused = _INTERPRET or _on_tpu()
     L = jnp.zeros_like(K)
     A = K
+    invs = []
     for k in range(nb):
         c0, c1 = k * block, (k + 1) * block
         diag = A[c0:c1, c0:c1]
-        if c1 == n:
-            L = L.at[c0:c1, c0:c1].set(pallas_cholesky_tile(diag))
-            break
         if use_fused:
             # one Pallas program yields both the factor and its inverse —
             # the panel TRSM becomes a plain MXU matmul, no XLA
@@ -361,7 +372,10 @@ def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
         else:
             Lkk = pallas_cholesky_tile(diag)
             inv = _inv_lower(Lkk)
+        invs.append(inv)
         L = L.at[c0:c1, c0:c1].set(Lkk)
+        if c1 == n:
+            break
         panel = jax.lax.dot_general(
             A[c1:, c0:c1], inv, (((1,), (1,)), ((), ())),
             preferred_element_type=dtype,
@@ -373,13 +387,138 @@ def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
                 preferred_element_type=dtype,
             )
         )
-    return L
+    return L, jnp.stack(invs)
+
+
+def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
+    """Lower Cholesky factor via the blocked driver (see
+    :func:`blocked_cholesky_invs`)."""
+    return blocked_cholesky_invs(K, block)[0]
 
 
 # Unrolled block loops above this many steps produce HLO big enough to
 # stall XLA's optimizer (observed: the 16k gradient graph never finished
 # compiling); switch to fori_loop + dynamic slices beyond it.
 _MAX_UNROLL_STEPS = 24
+
+
+# ---------------------------------------------------------------------------
+# Streaming vector triangular solves.
+#
+# A vector TRSM is HBM-bandwidth-bound (read L once), but the XLA/blocked
+# forms dispatch nb dependent kernels and measure ~0.5 ms at n=4096 where
+# the memory bound is ~40 us.  Here the WHOLE solve is one pallas_call
+# with a sequential grid over block rows: the solution vector lives in a
+# VMEM scratch that persists across grid steps, each step's L panel is
+# auto-pipelined from HBM, the already-solved prefix is applied as one
+# masked full-width matvec, and the diagonal tile is applied via its
+# precomputed inverse (one small MXU matmul).  The tile inverses come for
+# free from the fused factorization kernel.
+# ---------------------------------------------------------------------------
+
+
+def _trsv_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
+    """Grid step k: solve rows [k b, (k+1) b) given the solved prefix."""
+    k = pl.program_id(0)
+    block = y_ref.shape[0]
+    n = panel_ref.shape[1]
+    c0 = k * block
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block, n), 1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hist = jnp.where(col_ids < c0, panel_ref[:], 0.0)
+    resid = y_ref[:] - jax.lax.dot_general(
+        hist, acc_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=y_ref.dtype,
+    )
+    xk = jax.lax.dot_general(
+        inv_ref[0], resid, (((1,), (0,)), ((), ())),
+        preferred_element_type=y_ref.dtype,
+    )
+    acc_ref[pl.ds(c0, block), :] = xk
+    x_ref[:] = xk
+
+
+def _trsv_t_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
+    """Transpose solve, bottom-up: grid step t handles block nb-1-t."""
+    t = pl.program_id(0)
+    nb = pl.num_programs(0)
+    k = nb - 1 - t
+    block = y_ref.shape[0]
+    n = panel_ref.shape[0]
+    c0 = k * block
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # panel_ref = L[:, c0:c1]; contribution of solved rows > c1
+    hist = jnp.where(row_ids >= c0 + block, panel_ref[:], 0.0)
+    resid = y_ref[:] - jax.lax.dot_general(
+        hist, acc_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=y_ref.dtype,
+    )
+    xk = jax.lax.dot_general(
+        inv_ref[0], resid, (((0,), (0,)), ((), ())),
+        preferred_element_type=y_ref.dtype,
+    )  # inv^T @ resid
+    acc_ref[pl.ds(c0, block), :] = xk
+    x_ref[:] = xk
+
+
+def pallas_trsv_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
+    """x = L^{-1} y (vector), one streaming Pallas program.
+
+    ``invs``: (nb, block, block) tile inverses of the diagonal blocks.
+    """
+    n = L.shape[-1]
+    nb = n // block
+    y2 = y[:, None]
+    out = pl.pallas_call(
+        _trsv_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 1), lambda k: (k, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), L.dtype),
+        scratch_shapes=[pltpu.VMEM((n, 1), L.dtype)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=n * n, bytes_accessed=n * n * L.dtype.itemsize, transcendentals=0
+        ),
+    )(y2, L, invs.reshape(nb, block, block))
+    return out[:, 0]
+
+
+def pallas_trsv_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
+    """x = L^{-T} y (vector), streaming bottom-up."""
+    n = L.shape[-1]
+    nb = n // block
+    y2 = y[:, None]
+    out = pl.pallas_call(
+        _trsv_t_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda t, nb=nb: (nb - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, block), lambda t, nb=nb: (0, nb - 1 - t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), lambda t, nb=nb: (nb - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 1), lambda t, nb=nb: (nb - 1 - t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), L.dtype),
+        scratch_shapes=[pltpu.VMEM((n, 1), L.dtype)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=n * n, bytes_accessed=n * n * L.dtype.itemsize, transcendentals=0
+        ),
+    )(y2, L, invs.reshape(nb, block, block))
+    return out[:, 0]
 
 
 def _tile_invs(L: Array, block: int) -> Array:
@@ -578,9 +717,15 @@ def maybe_pallas_cholesky(K: Array):
 
 
 def _lml_core_impl(K: Array, y: Array, block: int):
-    L = blocked_cholesky(K, block)
-    z = blocked_trsm_lower(L, y, block)
-    alpha = blocked_trsm_lower_t(L, z, block)
+    L, invs = blocked_cholesky_invs(K, block)
+    if block % 128 == 0 or _INTERPRET:
+        # streaming single-program vector solves, reusing the tile
+        # inverses the factorization already produced
+        z = pallas_trsv_lower(L, y, invs, block)
+        alpha = pallas_trsv_lower_t(L, z, invs, block)
+    else:
+        z = blocked_trsm_lower(L, y, block)
+        alpha = blocked_trsm_lower_t(L, z, block)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     value = -0.5 * (logdet + jnp.dot(z, z))
     return value, (L, alpha)

@@ -88,7 +88,7 @@ def _run_optax(
 def adam(
     value_and_grad_logp: Callable[[Array], tuple[Array, Array]],
     x0: Array,
-    iters: int = DEFAULT_ITERS,
+    iters: int | Array = DEFAULT_ITERS,
     rate: float = DEFAULT_RATE,
     threshold: float = DEFAULT_THRESHOLD,
 ) -> OptResult:
@@ -97,6 +97,10 @@ def adam(
     ``value_and_grad_logp`` may carry a gradient mask
     (gogp_tpu.models.masked_value_and_grad) to pin coordinates, replacing the
     tutorials' Gradient() surgery.
+
+    ``iters`` may be a traced scalar: under vmap, rows that should not
+    optimize at all (the Evaluate protocol's MINOPT skip) pass 0 and leave
+    the loop immediately instead of burning the full budget.
     """
     x0 = jnp.asarray(x0)
 
@@ -110,7 +114,7 @@ def adam(
 def lbfgs(
     logp: Callable[[Array], Array],
     x0: Array,
-    iters: int = DEFAULT_ITERS,
+    iters: int | Array = DEFAULT_ITERS,
     threshold: float = DEFAULT_THRESHOLD,
     memory_size: int = 15,
     free: Array | None = None,

@@ -116,14 +116,42 @@ def cho_solve_vec(L: Array, y: Array) -> Array:
     return solve_triangular(L, z, lower=True, trans=1)
 
 
+def _blocked_trsm_block(L: Array) -> int | None:
+    """Block size when the blocked-Pallas TRSM should handle solves with
+    this factor (mirrors the cholesky dispatch eligibility)."""
+    if _FORCE_XLA:
+        return None
+    from gogp_tpu.ops.cholesky_pallas import _eligible_block
+
+    return _eligible_block(L)
+
+
 def cho_solve_mat(L: Array, B: Array) -> Array:
-    """K^{-1} B given lower factor L (reference SolveTo call sites)."""
+    """K^{-1} B given lower factor L (reference SolveTo call sites).
+
+    Large TPU f32 solves route through the blocked MXU TRSMs (measured
+    2.4x over XLA's native trsm at n=4096 with an n-column RHS).
+    """
+    block = _blocked_trsm_block(L)
+    if block is not None and B.ndim == 2:
+        from gogp_tpu.ops.cholesky_pallas import (
+            blocked_trsm_lower,
+            blocked_trsm_lower_t,
+        )
+
+        Z = blocked_trsm_lower(L, B, block)
+        return blocked_trsm_lower_t(L, Z, block)
     Z = solve_triangular(L, B, lower=True)
     return solve_triangular(L, Z, lower=True, trans=1)
 
 
 def trsm_lower(L: Array, B: Array) -> Array:
     """L^{-1} B — the half-solve used by fused predictive variance."""
+    block = _blocked_trsm_block(L)
+    if block is not None and B.ndim == 2:
+        from gogp_tpu.ops.cholesky_pallas import blocked_trsm_lower
+
+        return blocked_trsm_lower(L, B, block)
     return solve_triangular(L, B, lower=True)
 
 

@@ -148,7 +148,6 @@ def evaluate(
     # prefix masks: row e has ones at 0..e-1
     masks_np = (np.arange(n)[None, :] < np.arange(n)[:, None]).astype(np.float64)
     masks = jnp.asarray(masks_np)
-    do_opt = jnp.asarray(np.arange(n) > cfg.minopt)
 
     priors = study.make_priors(x, y_norm) if study.make_priors else None
 
@@ -187,7 +186,7 @@ def evaluate(
         def posterior(v, mask):
             return gp_posterior(gp, v, x=xj, y=yj, mask=mask)
 
-    def fit_one(v0, mask, free, z, opt_this):
+    def fit_one(v0, mask, free, z):
         lp = lambda v: logp(v, mask)  # noqa: E731
         lml0 = lp(v0)
         if cfg.alg == "adam":
@@ -202,34 +201,61 @@ def evaluate(
             res = mle.lbfgs(
                 lp, v0, iters=cfg.iters, threshold=cfg.threshold, free=free
             )
-        v = jnp.where(opt_this, res.x, v0)
+        v = res.x
         lml = lp(v)
         post = posterior(v, mask)
         mu, sigma = predict_from_posterior(gp, post, z[None, :])
-        early_stall = res.stalled & (res.iters < cfg.min_iters) & opt_this
+        early_stall = res.stalled & (res.iters < cfg.min_iters)
         return v, lml0, lml, mu[0], sigma[0], res.iters, early_stall
 
+    def skip_one(v0, mask, z):
+        # MINOPT rows (reference tutorial.go:127): no optimization at all —
+        # partitioned out of the batched fit rather than masked inside it,
+        # so their optimizer FLOPs are never spent
+        lp0 = logp(v0, mask)
+        post = posterior(v0, mask)
+        mu, sigma = predict_from_posterior(gp, post, z[None, :])
+        zero = jnp.zeros((), jnp.int32)
+        return v0, lp0, lp0, mu[0], sigma[0], zero, zero.astype(bool)
+
+    do_opt_np = np.arange(n) > cfg.minopt  # static: partition, don't mask
+    opt_idx = np.flatnonzero(do_opt_np)
+    skip_idx = np.flatnonzero(~do_opt_np)
+
     tio.progress("Forecasting...")
+    outs = [None] * n
     if cfg.batched:
-        fit_all = jax.jit(jax.vmap(fit_one))
-        v_all, lml0_all, lml_all, mu_all, sigma_all, iters_all, stall_all = fit_all(
-            v_init, masks, frees, xj, do_opt
-        )
+        if opt_idx.size:
+            o = jax.jit(jax.vmap(fit_one))(
+                v_init[opt_idx], masks[opt_idx], frees[opt_idx], xj[opt_idx]
+            )
+            for j, e in enumerate(opt_idx):
+                outs[e] = [np.asarray(t)[j] for t in o]
+        if skip_idx.size:
+            o = jax.jit(jax.vmap(skip_one))(
+                v_init[skip_idx], masks[skip_idx], xj[skip_idx]
+            )
+            for j, e in enumerate(skip_idx):
+                outs[e] = [np.asarray(t)[j] for t in o]
     else:
         fit_jit = jax.jit(fit_one)
-        outs = [
-            fit_jit(v_init[e], masks[e], frees[e], xj[e], do_opt[e]) for e in range(n)
-        ]
-        v_all, lml0_all, lml_all, mu_all, sigma_all, iters_all, stall_all = (
-            jnp.stack([o[i] for o in outs]) for i in range(7)
-        )
+        skip_jit = jax.jit(skip_one)
+        for e in range(n):
+            if do_opt_np[e]:
+                o = fit_jit(v_init[e], masks[e], frees[e], xj[e])
+            else:
+                o = skip_jit(v_init[e], masks[e], xj[e])
+            outs[e] = [np.asarray(t) for t in o]
+    v_all, lml0_all, lml_all, mu_all, sigma_all, iters_all, stall_all = (
+        np.stack([outs[e][i] for e in range(n)]) for i in range(7)
+    )
 
     # MINITERS stall reporting (reference tutorial.go:144-155): a stalled
     # optimizer is tolerated, but a stall before min_iters is logged; the
     # run always continues with whatever point the optimizer reached.
-    for e in np.flatnonzero(np.asarray(stall_all)):
+    for e in np.flatnonzero(stall_all):
         tio.progress(
-            f"{e}: optimization stuck after {int(np.asarray(iters_all)[e])} "
+            f"{e}: optimization stuck after {int(iters_all[e])} "
             f"iterations (< {cfg.min_iters})"
         )
 

@@ -237,12 +237,29 @@ def main():
     ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--beta-min", type=float, default=0.05)
+    ap.add_argument(
+        "--sweep", default="",
+        help="comma-separated chain counts: print one JSON line per count "
+        "(the chains -> ESS/s and samples/s saturation curve; anchors "
+        "whether a single number is throughput- or mixing-limited)",
+    )
     args = ap.parse_args()
+    if args.sweep:
+        for c in [int(s) for s in args.sweep.split(",")]:
+            if args.pt:
+                out = run_pt(c, args.replicas, args.warmup, args.samples,
+                             args.seed, args.max_depth, args.beta_min)
+            else:
+                out = run(c, args.warmup, args.samples, args.seed, args.max_depth)
+            out["samples_per_sec"] = round(c * args.samples / out["walltime_s"], 1)
+            print(json.dumps(out), flush=True)
+        return
     if args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
                      args.seed, args.max_depth, args.beta_min)
     else:
         out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
+    out["samples_per_sec"] = round(args.chains * args.samples / out["walltime_s"], 1)
     print(json.dumps(out))
 
 

@@ -117,3 +117,71 @@ class TestDispatchIntegration:
             val_p, grad_p = f(v)
         assert np.isclose(float(val_x), float(val_p), atol=1e-8)
         assert np.allclose(np.asarray(grad_x), np.asarray(grad_p), atol=1e-7)
+
+
+class TestStreamingTrsv:
+    """Single-program streaming vector solves against scipy oracles."""
+
+    @pytest.mark.parametrize("n,block", [(64, 8), (256, 32), (256, 64)])
+    def test_forward_and_transpose(self, n, block):
+        import scipy.linalg as sl
+
+        K = spd(n, seed=12)
+        y = jnp.asarray(np.random.default_rng(13).normal(size=n))
+        with cp.force_interpret():
+            L, invs = cp.blocked_cholesky_invs(K, block)
+            z = np.asarray(cp.pallas_trsv_lower(L, y, invs, block))
+            a = np.asarray(cp.pallas_trsv_lower_t(L, jnp.asarray(z), invs, block))
+        Lx = np.linalg.cholesky(np.asarray(K))
+        zx = sl.solve_triangular(Lx, np.asarray(y), lower=True)
+        ax = sl.solve_triangular(Lx.T, zx, lower=False)
+        assert np.allclose(z, zx, atol=1e-9)
+        assert np.allclose(a, ax, atol=1e-9)
+
+
+class TestForiTrsm:
+    """fori_loop TRSM paths engage beyond _MAX_UNROLL_STEPS blocks."""
+
+    def test_lower_and_t_fori(self):
+        import scipy.linalg as sl
+
+        n, block = 256, 8  # nb=32 > 24 -> fori path
+        assert n // block > cp._MAX_UNROLL_STEPS
+        L = jnp.linalg.cholesky(spd(n, seed=14))
+        B = jnp.asarray(np.random.default_rng(15).normal(size=(n, 5)))
+        with cp.force_interpret():
+            X = np.asarray(cp.blocked_trsm_lower(L, B, block))
+            Xt = np.asarray(cp.blocked_trsm_lower_t(L, B, block))
+        Lx = np.asarray(L)
+        assert np.allclose(X, sl.solve_triangular(Lx, np.asarray(B), lower=True), atol=1e-9)
+        assert np.allclose(Xt, sl.solve_triangular(Lx.T, np.asarray(B), lower=False), atol=1e-9)
+
+    def test_lml_core_grad_fori(self):
+        n, block = 256, 8
+        K = spd(n, seed=16)
+        y = jnp.asarray(np.random.default_rng(17).normal(size=n))
+
+        def oracle(K, y):
+            L = jnp.linalg.cholesky(K)
+            z = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+            return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.dot(z, z)
+
+        vo, (gKo, gyo) = jax.value_and_grad(oracle, argnums=(0, 1))(K, y)
+        with cp.force_interpret():
+            v, (gK, gy) = jax.value_and_grad(
+                lambda K, y: cp.lml_core(K, y, block), argnums=(0, 1)
+            )(K, y)
+        assert np.isclose(float(v), float(vo), atol=1e-9)
+        assert np.allclose(np.asarray(gK), np.asarray(gKo), atol=1e-8)
+        assert np.allclose(np.asarray(gy), np.asarray(gyo), atol=1e-8)
+
+
+class TestLmlCoreDispatch:
+    def test_matches_xla_lml_core(self):
+        K = spd(128, seed=18)
+        y = jnp.asarray(np.random.default_rng(19).normal(size=128))
+        with linalg.force_xla():
+            want = float(linalg.lml_core(K, y))
+        with cp.force_interpret():
+            got = float(linalg.lml_core(K, y))
+        assert np.isclose(got, want, atol=1e-9)

@@ -4,10 +4,19 @@
 # jax.grad replaces the deriv AD step wholesale.
 
 PY ?= python
+CXX ?= g++
 
-.PHONY: all test selfcheck bench clean
+.PHONY: all test selfcheck bench native clean
 
-all: test selfcheck
+all: native test selfcheck
+
+# Native runtime helpers (host-side C++; the compute path is JAX/Pallas).
+# Loaded through ctypes — see gogp_tpu/utils/native.py; pure-Python
+# fallbacks keep everything working unbuilt.
+native: native/libgogp_native.so
+
+native/libgogp_native.so: native/csv_parser.cpp
+	$(CXX) -O2 -shared -fPIC -o $@ $<
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -381,12 +381,26 @@ def blocked_cholesky_invs(K: Array, block: int = DEFAULT_BLOCK) -> tuple[Array, 
             preferred_element_type=dtype,
         )  # (n-c1, block) = A_panel @ inv^T
         L = L.at[c1:, c0:c1].set(panel)
-        A = A.at[c1:, c1:].add(
-            -jax.lax.dot_general(
-                panel, panel, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
+        if nb <= 16:
+            # triangular-aware SYRK: update one trailing block COLUMN at a
+            # time, rows from its diagonal down — half the FLOPs of the
+            # full-square update.  Strip count is nb^2/2 total, so only
+            # for small nb (HLO size; large nb keeps the single matmul).
+            for j in range(k + 1, nb):
+                r0 = j * block - c1
+                upd = jax.lax.dot_general(
+                    panel[r0:], panel[r0:r0 + block],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype,
+                )
+                A = A.at[j * block:, j * block:(j + 1) * block].add(-upd)
+        else:
+            A = A.at[c1:, c1:].add(
+                -jax.lax.dot_general(
+                    panel, panel, (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype,
+                )
             )
-        )
     return L, jnp.stack(invs)
 
 

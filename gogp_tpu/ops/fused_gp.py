@@ -215,17 +215,46 @@ def make_fused_value_and_grad(gp, x, y, mask=None, priors_fn=None):
 
     def pallas_linv(Kb):
         """One Pallas call for any leading batch shape (collapsed to one
-        batch axis inside the kernel — the loops are batch-aware)."""
+        batch axis inside the kernel — the loops are batch-aware).
+
+        Large batches stream through a grid in VMEM-sized chunks: the
+        whole batch resident at once overflows the ~16 MB scoped VMEM
+        (observed at 256 chains x 64^2 tiles); with a chunked grid the
+        same kernel body handles any chain count.
+        """
         lead = Kb.shape[:-2]
-        K3 = Kb.reshape((-1, n, n)) if lead else Kb
+        if not lead:
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(Kb.shape, dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=_INTERPRET,
+                cost_estimate=pl.CostEstimate(
+                    flops=3 * n * n * n,
+                    bytes_accessed=2 * Kb.size * dtype.itemsize,
+                    transcendentals=n,
+                ),
+            )(Kb)
+            return out
+        K3 = Kb.reshape((-1, n, n))
+        b = K3.shape[0]
+        # ~2 MB of K per grid step (kernel temps take a few x more)
+        chunk = max(1, min(b, (2 * 1024 * 1024) // (n * n * dtype.itemsize)))
+        grid = -(-b // chunk)
         out = pl.pallas_call(
             kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             out_shape=jax.ShapeDtypeStruct(K3.shape, dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=_INTERPRET,
             cost_estimate=pl.CostEstimate(
-                flops=(K3.shape[0] if lead else 1) * 3 * n * n * n,
+                flops=b * 3 * n * n * n,
                 bytes_accessed=2 * K3.size * dtype.itemsize,
                 transcendentals=n,
             ),

@@ -106,27 +106,34 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
     states = jax.jit(jax.vmap(jax.vmap(finalize_warmup)))(states)
 
     @functools.partial(jax.jit, static_argnums=(3,))
-    def sample_chunk(states, loop_keys, betas_all, num, t0):
-        def one(s, k, b):
-            s, k, pos, raws, sw = pt_sample_chunk(logp, s, k, b, num, t0, max_depth)
-            return s, k, pos, sw
+    def sample_chunk(states, loop_keys, betas_all, num, t0, labels, trips):
+        def one(s, k, b, lab, tr):
+            s, k, pos, raws, sw, lab, tr = pt_sample_chunk(
+                logp, s, k, b, num, t0, max_depth, labels=lab, trips=tr
+            )
+            return s, k, pos, sw, lab, tr
 
-        return jax.vmap(one)(states, loop_keys, betas_all)
+        return jax.vmap(one)(states, loop_keys, betas_all, labels, trips)
 
-    states_c, lk_c, pos_c, _ = sample_chunk(
-        states, loop_keys, betas_all, CHUNK, jnp.asarray(0)
+    labels0 = jnp.zeros((chains, n_replicas), jnp.int32)
+    trips0 = jnp.zeros((chains,), jnp.int32)
+    states_c, lk_c, pos_c, _, _, _ = sample_chunk(
+        states, loop_keys, betas_all, CHUNK, jnp.asarray(0), labels0, trips0
     )
     np.asarray(pos_c)  # warm the compile, synced
 
+    labels, trips = labels0, trips0
     chunks, swaps = [], []
     t0s = time.perf_counter()
     for i in range(0, num_samples, CHUNK):
-        states, loop_keys, pos, sw = sample_chunk(
-            states, loop_keys, betas_all, CHUNK, jnp.asarray(num_warmup + i)
+        states, loop_keys, pos, sw, labels, trips = sample_chunk(
+            states, loop_keys, betas_all, CHUNK, jnp.asarray(num_warmup + i),
+            labels, trips,
         )
         chunks.append(np.asarray(pos))  # forces device sync per chunk
         swaps.append(sw)
     walltime = time.perf_counter() - t0s
+    total_trips = int(np.asarray(trips).sum())
 
     pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
@@ -144,6 +151,9 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
         "max_tree_depth": max_depth,
         "ess_per_param": [round(float(e), 1) for e in ess_per_param],
         "swap_rate": round(float(np.mean([np.asarray(s) for s in swaps])), 3),
+        # total beta_min -> 1 round trips across all ladders: cold-chain
+        # ESS is capped at ~2x this, so it tells ladder- vs chain-limited
+        "round_trips": total_trips,
         "beta_min": beta_min,
         "sampler": "pt-nuts",
         "platform": jax.devices()[0].platform,

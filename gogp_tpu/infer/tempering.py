@@ -144,6 +144,11 @@ class PTResult(NamedTuple):
     swap_rate: Array  # () mean DEO acceptance over sampling
     state: HMCState  # final replica-stacked state
     betas: Array
+    # round trips completed during sampling (a state travelling
+    # beta_min -> 1 counted at the cold end; Syed et al. flow diagnostic:
+    # cold-chain ESS cannot exceed ~2x the round-trip count, so this says
+    # whether mixing is ladder-limited).  None when not tracked.
+    round_trips: Array | None = None
 
 
 def pt_init(
@@ -212,14 +217,27 @@ def _make_steps(logp, max_tree_depth, target_accept, free, adapt_ladder):
         return (states, key, betas, rej_sum, prop_count), None
 
     def sample_step(carry, inp):
-        states, key, betas = carry
+        states, key, betas, labels, trips = carry
         key, k_swap = jax.random.split(key)
         states = jax.vmap(transition)(states, betas)
         raw = states.logp / betas
-        states, raw, swap_frac, _, _ = _swap_sweep(
-            states, betas, raw, k_swap, inp["t"] % 2
+        src, _, _, swap_frac = swap_decision(betas, raw, k_swap, inp["t"] % 2)
+        new_pos = states.position[src]
+        new_raw = raw[src]
+        raw_grad = states.grad / betas[:, None]
+        states = states._replace(
+            position=new_pos,
+            logp=new_raw * betas,
+            grad=raw_grad[src] * betas[:, None],
         )
-        return (states, key, betas), (states.position[0], raw[0], swap_frac)
+        # replica-flow labels travel with the states: +1 after visiting the
+        # hottest rung, -1 after the coldest; an up-labelled state reaching
+        # the cold end completes one round trip
+        labels = labels[src]
+        K = betas.shape[0]
+        trips = trips + (labels[0] > 0).astype(trips.dtype)
+        labels = labels.at[0].set(-1).at[K - 1].set(1)
+        return (states, key, betas, labels, trips), (new_pos[0], new_raw[0], swap_frac)
 
     return warm_step, sample_step
 
@@ -245,15 +263,24 @@ def pt_warm_chunk(
 
 def pt_sample_chunk(
     logp, states, key, betas, num: int, t0,
-    max_tree_depth: int = 6, free=None,
+    max_tree_depth: int = 6, free=None, labels=None, trips=None,
 ):
-    """Run ``num`` sampling sweeps; returns cold-chain draws of the chunk."""
+    """Run ``num`` sampling sweeps; returns cold-chain draws of the chunk.
+
+    ``labels``/``trips`` (optional) thread the replica-flow round-trip
+    counter across chunks; fresh counters are created when omitted.
+    Returns ``(states, key, positions, raws, swap_fracs, labels, trips)``.
+    """
     _, sample_step = _make_steps(logp, max_tree_depth, 0.8, free, False)
     ts = t0 + jnp.arange(num)
-    (states, key, _), (positions, raws, swap_fracs) = jax.lax.scan(
-        sample_step, (states, key, betas), {"t": ts}
+    if labels is None:
+        labels = jnp.zeros((betas.shape[0],), jnp.int32)
+    if trips is None:
+        trips = jnp.zeros((), jnp.int32)
+    (states, key, _, labels, trips), (positions, raws, swap_fracs) = jax.lax.scan(
+        sample_step, (states, key, betas, labels, trips), {"t": ts}
     )
-    return states, key, positions, raws, swap_fracs
+    return states, key, positions, raws, swap_fracs, labels, trips
 
 
 def run_pt_nuts(
@@ -297,8 +324,8 @@ def run_pt_nuts(
         )
         states = jax.vmap(finalize_warmup)(states)
 
-    states, key, positions, raws, swap_fracs = pt_sample_chunk(
+    states, key, positions, raws, swap_fracs, _, trips = pt_sample_chunk(
         logp, states, key, betas, num_samples, jnp.asarray(num_warmup),
         max_tree_depth, free,
     )
-    return PTResult(positions, raws, jnp.mean(swap_fracs), states, betas)
+    return PTResult(positions, raws, jnp.mean(swap_fracs), states, betas, trips)

@@ -239,8 +239,10 @@ def make_fused_value_and_grad(gp, x, y, mask=None, priors_fn=None):
             return out
         K3 = Kb.reshape((-1, n, n))
         b = K3.shape[0]
-        # ~2 MB of K per grid step (kernel temps take a few x more)
-        chunk = max(1, min(b, (2 * 1024 * 1024) // (n * n * dtype.itemsize)))
+        # ~1 MB of K per grid step: the kernel's working copies multiply
+        # the footprint several-fold and ~16 MB of scoped VMEM is the
+        # ceiling (a 128-batch block of 64^2 tiles measured 31.85 MB)
+        chunk = max(1, min(b, (1024 * 1024) // (n * n * dtype.itemsize)))
         grid = -(-b // chunk)
         out = pl.pallas_call(
             kernel,

@@ -732,7 +732,13 @@ def maybe_pallas_cholesky(K: Array):
 
 def _lml_core_impl(K: Array, y: Array, block: int):
     L, invs = blocked_cholesky_invs(K, block)
-    if block % 128 == 0 or _INTERPRET:
+    n = K.shape[-1]
+    # streaming solves keep a (block, n) L panel in VMEM per grid step;
+    # past ~8 MB that overflows scoped VMEM (observed at 16k x 512), and
+    # at those sizes the vector solves are immaterial next to the n^3
+    # factorization anyway — fall back to the blocked XLA-op form.
+    panel_bytes = block * n * K.dtype.itemsize
+    if (block % 128 == 0 and panel_bytes <= 8 * 1024 * 1024) or _INTERPRET:
         # streaming single-program vector solves, reusing the tile
         # inverses the factorization already produced
         z = pallas_trsv_lower(L, y, invs, block)

@@ -40,9 +40,17 @@ everything else falls back to XLA primitives.  On CPU the Pallas kernels
 run in interpreter mode when forced (tests), never by default.
 
 Measured (v5e f32, floor-corrected device-loop timing, round 2): N=4096
-factorization 1.92 ms vs 2.22 ms XLA; LML+gradient 3.57 ms vs 17.5 ms
-XLA-AD vs 43.3 ms reference per-theta algorithm; N=16k factorization
+factorization 1.92 ms vs 2.22 ms XLA; LML+gradient 3.41 ms vs 16.8 ms
+XLA-AD vs 42.9 ms reference per-theta algorithm; N=16k factorization
 48.5 ms (block 512) vs 72.5 ms XLA.
+
+Precision (v5e, n=4096, vs CPU x64 truth): the default TPU f32 dot is a
+single bf16 MXU pass, giving 2e-5 rel LML / 1.3e-3 max-rel gradient at
+3.41 ms.  Wrapping the call in ``jax.default_matmul_precision
+("tensorfloat32")`` raises the driver matmuls to 3-pass accuracy —
+2.5e-7 / 2.5e-5, matching the XLA fallback path — at 6.11 ms, still
+2.7x faster than XLA-AD.  The context is trace-aware so jit/custom_vjp
+caches key on it; benchmarks/matmul_precision.py reproduces the sweep.
 """
 
 from __future__ import annotations
@@ -94,6 +102,33 @@ def disable_pallas():
         _ENABLED = prev
 
 
+# Matmul precision.  On TPU, JAX's DEFAULT f32 dot precision is a single
+# bf16 MXU pass — measured bit-identical to explicitly casting operands to
+# bf16 — so there is no "cast to bf16 for speed" headroom: the fast path
+# already runs at bf16 operand precision.  The real knob points the other
+# way: wrapping a model call in ``jax.default_matmul_precision("float32")``
+# (trace-context-aware, so jit/custom_vjp caches key on it correctly)
+# raises the XLA-level driver matmuls (SYRK trailing updates, panel/TRSM
+# updates) to multi-pass f32 accuracy at ~3-6x their matmul cost.
+# Measured at n=4096 vs CPU x64 truth: DEFAULT = 2e-5 rel LML / 1.3e-3
+# max-rel grad; the XLA fallback path (internally high precision) = 6e-8 /
+# 5e-5.  Mosaic supports only DEFAULT and HIGHEST dot precisions, so
+# kernel-internal dots pin an explicit level via ``_kernel_precision``.
+
+
+def _kernel_precision():
+    """Mosaic-supported dot precision matching the ambient default.
+
+    ``jax.default_matmul_precision("tensorfloat32"|"float32")`` maps to
+    HIGH/HIGHEST, which Mosaic rejects / honors respectively — pin DEFAULT
+    unless the user asked for more, then give them HIGHEST.
+    """
+    prec = jax.config.jax_default_matmul_precision
+    if prec in (None, "bfloat16", "default"):
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 @contextlib.contextmanager
 def force_interpret():
     """Run the Pallas kernels in interpreter mode and dispatch to them
@@ -126,6 +161,7 @@ def _chol_kernel(a_ref, l_ref, m_ref):
     """
     n = a_ref.shape[0]
     dtype = a_ref.dtype
+    prec = _kernel_precision()
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     m_ref[:] = a_ref[:]
@@ -149,13 +185,15 @@ def _chol_kernel(a_ref, l_ref, m_ref):
         # contribution (W lanes below the pivot are masked); the slab rows
         # themselves become stale but are never read again.
         m_ref[:] = m_ref[:] - jax.lax.dot_general(
-            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
         )
         # scatter panel into L columns r0..r0+7: L[j, r0+i] = W[i, j],
         # via one MXU dot against the selector E[i, c] = (c == r0+i)
         E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
         l_ref[:] = l_ref[:] + jax.lax.dot_general(
-            W, E, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+            W, E, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
         )
         return 0
 
@@ -193,6 +231,7 @@ def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
     """
     n = a_ref.shape[0]
     dtype = a_ref.dtype
+    prec = _kernel_precision()
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     m_ref[:] = a_ref[:]
@@ -208,7 +247,8 @@ def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
         E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
         Lslab = l_ref[pl.ds(r0, 8), :]
         T = E - jax.lax.dot_general(
-            Lslab, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype
+            Lslab, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
         )
         W = jnp.zeros_like(S)
         U = jnp.zeros_like(T)
@@ -227,11 +267,13 @@ def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
             W = W + jnp.where(row8 == i, w, 0.0)
             U = U + jnp.where(row8 == i, u, 0.0)
         m_ref[:] = m_ref[:] - jax.lax.dot_general(
-            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
         )
         Esel = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
         l_ref[:] = l_ref[:] + jax.lax.dot_general(
-            W, Esel, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+            W, Esel, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
         )
         v_ref[pl.ds(r0, 8), :] = U
         return 0
@@ -273,6 +315,7 @@ def _tril_inv_kernel(l_ref, v_ref):
     """
     n = l_ref.shape[0]
     dtype = l_ref.dtype
+    prec = _kernel_precision()
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     v_ref[:] = jnp.zeros_like(l_ref)
@@ -283,7 +326,8 @@ def _tril_inv_kernel(l_ref, v_ref):
         hist = jnp.where(col8 < r0, Lslab, 0.0)
         E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
         T = E - jax.lax.dot_general(
-            hist, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype
+            hist, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
         )
         U = jnp.zeros_like(T)
         for i in range(8):
@@ -443,14 +487,15 @@ def _trsv_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    prec = _kernel_precision()
     hist = jnp.where(col_ids < c0, panel_ref[:], 0.0)
     resid = y_ref[:] - jax.lax.dot_general(
         hist, acc_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=y_ref.dtype,
+        preferred_element_type=y_ref.dtype, precision=prec,
     )
     xk = jax.lax.dot_general(
         inv_ref[0], resid, (((1,), (0,)), ((), ())),
-        preferred_element_type=y_ref.dtype,
+        preferred_element_type=y_ref.dtype, precision=prec,
     )
     acc_ref[pl.ds(c0, block), :] = xk
     x_ref[:] = xk
@@ -471,14 +516,15 @@ def _trsv_t_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # panel_ref = L[:, c0:c1]; contribution of solved rows > c1
+    prec = _kernel_precision()
     hist = jnp.where(row_ids >= c0 + block, panel_ref[:], 0.0)
     resid = y_ref[:] - jax.lax.dot_general(
         hist, acc_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=y_ref.dtype,
+        preferred_element_type=y_ref.dtype, precision=prec,
     )
     xk = jax.lax.dot_general(
         inv_ref[0], resid, (((0,), (0,)), ((), ())),
-        preferred_element_type=y_ref.dtype,
+        preferred_element_type=y_ref.dtype, precision=prec,
     )  # inv^T @ resid
     acc_ref[pl.ds(c0, block), :] = xk
     x_ref[:] = xk

@@ -185,3 +185,35 @@ class TestLmlCoreDispatch:
         with cp.force_interpret():
             got = float(linalg.lml_core(K, y))
         assert np.isclose(got, want, atol=1e-9)
+
+
+class TestMatmulPrecisionContext:
+    """jax.default_matmul_precision is the supported accuracy knob (on TPU
+    the DEFAULT f32 dot is one bf16 MXU pass; 'tensorfloat32' buys ~50x
+    gradient accuracy for ~1.8x cost, benchmarks/matmul_precision.py).
+    These guard that the whole Pallas chain traces under the context —
+    Mosaic rejects Precision.HIGH, so kernel dots pin a supported level
+    via _kernel_precision."""
+
+    def test_kernel_precision_mapping(self):
+        assert cp._kernel_precision() == jax.lax.Precision.DEFAULT
+        with jax.default_matmul_precision("bfloat16"):
+            assert cp._kernel_precision() == jax.lax.Precision.DEFAULT
+        with jax.default_matmul_precision("tensorfloat32"):
+            assert cp._kernel_precision() == jax.lax.Precision.HIGHEST
+        with jax.default_matmul_precision("float32"):
+            assert cp._kernel_precision() == jax.lax.Precision.HIGHEST
+
+    def test_lml_core_grad_under_precision_context(self):
+        K = spd(128, seed=20, dtype=jnp.float64)
+        y = jnp.asarray(np.random.default_rng(21).normal(size=128))
+
+        def loss(K):
+            return linalg.lml_core(K, y)
+
+        with linalg.force_xla():
+            want_v, want_g = jax.value_and_grad(loss)(K)
+        with cp.force_interpret(), jax.default_matmul_precision("tensorfloat32"):
+            got_v, got_g = jax.value_and_grad(loss)(K)
+        assert np.isclose(float(got_v), float(want_v), atol=1e-8)
+        assert np.allclose(np.asarray(got_g), np.asarray(want_g), atol=1e-8)

@@ -57,15 +57,18 @@ def build_logp():
 
 def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
            num_samples: int = 512, seed: int = 0, max_depth: int = 6,
-           beta_min: float = 0.05):
+           beta_min: float = 0.05, betas0=None):
     """Parallel-tempered variant: ``chains`` independent ladders of
     ``n_replicas`` replicas; ESS from the cold (beta=1) chains.  Driven in
-    CHUNK-sized dispatches like the plain-NUTS path (tunnel limits)."""
+    CHUNK-sized dispatches like the plain-NUTS path (tunnel limits).
+    ``betas0``: explicit ladder (e.g. from tune_ladder) overriding
+    n_replicas/beta_min."""
     import functools
 
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.hmc import finalize_warmup
     from gogp_tpu.infer.tempering import (
+        PTFlow,
         geometric_ladder,
         pt_init,
         pt_sample_chunk,
@@ -73,7 +76,11 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
     )
 
     logp, dim = build_logp()
-    betas = geometric_ladder(n_replicas, beta_min, jnp.float32)
+    if betas0 is not None:
+        betas = jnp.asarray(betas0, jnp.float32)
+        n_replicas = betas.shape[0]
+    else:
+        betas = geometric_ladder(n_replicas, beta_min, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(seed), chains)
     x0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
@@ -106,34 +113,47 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
     states = jax.jit(jax.vmap(jax.vmap(finalize_warmup)))(states)
 
     @functools.partial(jax.jit, static_argnums=(3,))
-    def sample_chunk(states, loop_keys, betas_all, num, t0, labels, trips):
-        def one(s, k, b, lab, tr):
-            s, k, pos, raws, sw, lab, tr = pt_sample_chunk(
-                logp, s, k, b, num, t0, max_depth, labels=lab, trips=tr
+    def sample_chunk(states, loop_keys, betas_all, num, t0, flow):
+        def one(s, k, b, fl):
+            s, k, pos, raws, sw, fl = pt_sample_chunk(
+                logp, s, k, b, num, t0, max_depth, flow=fl
             )
-            return s, k, pos, sw, lab, tr
+            return s, k, pos, sw, fl
 
-        return jax.vmap(one)(states, loop_keys, betas_all, labels, trips)
+        return jax.vmap(one)(states, loop_keys, betas_all, flow)
 
-    labels0 = jnp.zeros((chains, n_replicas), jnp.int32)
-    trips0 = jnp.zeros((chains,), jnp.int32)
-    states_c, lk_c, pos_c, _, _, _ = sample_chunk(
-        states, loop_keys, betas_all, CHUNK, jnp.asarray(0), labels0, trips0
+    flow0 = PTFlow(
+        labels=jnp.zeros((chains, n_replicas), jnp.int32),
+        trips=jnp.zeros((chains,), jnp.int32),
+        rej_sum=jnp.zeros((chains, n_replicas - 1), jnp.float32),
+        prop_count=jnp.zeros((chains, n_replicas - 1), jnp.float32),
+    )
+    states_c, lk_c, pos_c, _, _ = sample_chunk(
+        states, loop_keys, betas_all, CHUNK, jnp.asarray(0), flow0
     )
     np.asarray(pos_c)  # warm the compile, synced
 
-    labels, trips = labels0, trips0
+    flow = flow0
     chunks, swaps = [], []
     t0s = time.perf_counter()
     for i in range(0, num_samples, CHUNK):
-        states, loop_keys, pos, sw, labels, trips = sample_chunk(
+        states, loop_keys, pos, sw, flow = sample_chunk(
             states, loop_keys, betas_all, CHUNK, jnp.asarray(num_warmup + i),
-            labels, trips,
+            flow,
         )
         chunks.append(np.asarray(pos))  # forces device sync per chunk
         swaps.append(sw)
     walltime = time.perf_counter() - t0s
-    total_trips = int(np.asarray(trips).sum())
+    total_trips = int(np.asarray(flow.trips).sum())
+    # mean (over chains) total communication barrier measured at sampling
+    barrier = float(
+        np.mean(
+            np.sum(
+                np.asarray(flow.rej_sum) / np.maximum(np.asarray(flow.prop_count), 1.0),
+                axis=-1,
+            )
+        )
+    )
 
     pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
@@ -154,9 +174,20 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
         # total beta_min -> 1 round trips across all ladders: cold-chain
         # ESS is capped at ~2x this, so it tells ladder- vs chain-limited
         "round_trips": total_trips,
+        "barrier": round(barrier, 3),
         "beta_min": beta_min,
         "sampler": "pt-nuts",
         "platform": jax.devices()[0].platform,
+        # chain-mean adapted ladder + per-pair rejections: feed these to
+        # infer.tempering.place_rungs for depth auto-tuning (--auto-ladder)
+        "mean_betas": [round(float(b), 5) for b in np.mean(np.asarray(betas_all), axis=0)],
+        "mean_pair_rej": [
+            round(float(r), 4)
+            for r in np.mean(
+                np.asarray(flow.rej_sum) / np.maximum(np.asarray(flow.prop_count), 1.0),
+                axis=0,
+            )
+        ],
     }
 
 
@@ -248,17 +279,48 @@ def main():
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--beta-min", type=float, default=0.05)
     ap.add_argument(
+        "--auto-ladder", action="store_true",
+        help="with --pt: pilot run estimates the communication barrier, "
+        "then K* = ceil(1 + 2*Lambda) rungs are placed at equal barrier "
+        "increments (Syed et al.; infer.tempering.tune_ladder recipe, "
+        "driven chunked here for the tunnel)",
+    )
+    ap.add_argument(
         "--sweep", default="",
         help="comma-separated chain counts: print one JSON line per count "
         "(the chains -> ESS/s and samples/s saturation curve; anchors "
         "whether a single number is throughput- or mixing-limited)",
     )
     args = ap.parse_args()
+    betas0 = None
+    if args.pt and args.auto_ladder:
+        import math
+
+        from gogp_tpu.infer.tempering import place_rungs
+
+        pilot = run_pt(
+            min(args.chains, 8), args.replicas, min(args.warmup, 256), 128,
+            args.seed + 100, args.max_depth, args.beta_min,
+        )
+        lam = pilot["barrier"]
+        k_star = min(max(math.ceil(1.0 + 2.0 * lam), 2), 64)
+        betas0 = place_rungs(
+            jnp.asarray(pilot["mean_betas"], jnp.float32),
+            jnp.asarray(pilot["mean_pair_rej"], jnp.float32),
+            k_star,
+        )
+        print(json.dumps({
+            "auto_ladder": {
+                "barrier": lam, "k_star": k_star,
+                "pilot_replicas": args.replicas,
+                "betas": [round(float(b), 5) for b in betas0],
+            }
+        }), flush=True)
     if args.sweep:
         for c in [int(s) for s in args.sweep.split(",")]:
             if args.pt:
                 out = run_pt(c, args.replicas, args.warmup, args.samples,
-                             args.seed, args.max_depth, args.beta_min)
+                             args.seed, args.max_depth, args.beta_min, betas0)
             else:
                 out = run(c, args.warmup, args.samples, args.seed, args.max_depth)
             out["samples_per_sec"] = round(c * args.samples / out["walltime_s"], 1)
@@ -266,7 +328,7 @@ def main():
         return
     if args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
-                     args.seed, args.max_depth, args.beta_min)
+                     args.seed, args.max_depth, args.beta_min, betas0)
     else:
         out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
     out["samples_per_sec"] = round(args.chains * args.samples / out["walltime_s"], 1)

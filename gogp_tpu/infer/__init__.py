@@ -20,7 +20,14 @@ from gogp_tpu.infer.hmc import (
 from gogp_tpu.infer.mle import OptResult, adam, lbfgs
 from gogp_tpu.infer.nuts import nuts_transition, run_nuts
 from gogp_tpu.infer.smc import SMCResult, run_smc
-from gogp_tpu.infer.tempering import PTResult, geometric_ladder, run_pt_nuts
+from gogp_tpu.infer.tempering import (
+    PTFlow,
+    PTResult,
+    geometric_ladder,
+    place_rungs,
+    run_pt_nuts,
+    tune_ladder,
+)
 
 __all__ = [
     "ADVIResult",
@@ -39,10 +46,13 @@ __all__ = [
     "lbfgs",
     "leapfrog",
     "mle",
+    "PTFlow",
     "PTResult",
     "geometric_ladder",
     "nuts_transition",
+    "place_rungs",
     "run_pt_nuts",
+    "tune_ladder",
     "run_advi",
     "run_hmc",
     "run_nuts",

@@ -28,6 +28,7 @@ multi-chip ladders (swap statistics are O(K) scalars).
 
 from __future__ import annotations
 
+import math
 from typing import Callable, NamedTuple
 
 import jax
@@ -95,6 +96,24 @@ def swap_decision(betas: Array, raw_logp: Array, key: Array, parity: Array):
     return src, pair_probs, proposed, swap_frac
 
 
+def place_rungs(betas: Array, rej_mean: Array, n_new: int) -> Array:
+    """Place ``n_new`` rungs at equal increments of the cumulative
+    communication barrier estimated on the grid ``betas`` (Syed et al.
+    2019, §5.2).  ``rej_mean``: (K-1,) mean rejection of each adjacent
+    pair — the Rao-Blackwellized barrier-increment estimate.  Endpoints
+    (betas[0], betas[-1]) stay pinned.
+    """
+    K = betas.shape[0]
+    # strictly increasing cumulative barrier (epsilon keeps interp stable
+    # when stretches of the ladder reject never)
+    lam = jnp.concatenate([jnp.zeros((1,), betas.dtype), jnp.cumsum(rej_mean)])
+    lam = lam + jnp.arange(K, dtype=betas.dtype) * 1e-6
+    targets = jnp.linspace(lam[0], lam[-1], n_new).astype(betas.dtype)
+    new = jnp.interp(targets, lam, betas)
+    new = new.at[0].set(betas[0]).at[-1].set(betas[-1])
+    return new
+
+
 def adapt_ladder_betas(betas: Array, rej_sum: Array, prop_count: Array) -> Array:
     """Round-trip-optimal ladder update (Syed et al. 2019, §5.2).
 
@@ -105,16 +124,8 @@ def adapt_ladder_betas(betas: Array, rej_sum: Array, prop_count: Array) -> Array
     barrier.  Piecewise-linear inversion of the empirical barrier on the
     current grid; endpoints (beta=1, beta_min) stay pinned.
     """
-    K = betas.shape[0]
     r = rej_sum / jnp.maximum(prop_count, 1.0)  # (K-1,) mean rejection
-    # strictly increasing cumulative barrier (epsilon keeps interp stable
-    # when stretches of the ladder reject never)
-    lam = jnp.concatenate([jnp.zeros((1,), betas.dtype), jnp.cumsum(r)])
-    lam = lam + jnp.arange(K, dtype=betas.dtype) * 1e-6
-    targets = jnp.linspace(lam[0], lam[-1], K).astype(betas.dtype)
-    new = jnp.interp(targets, lam, betas)
-    new = new.at[0].set(betas[0]).at[-1].set(betas[-1])
-    return new
+    return place_rungs(betas, r, betas.shape[0])
 
 
 def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, parity: Array):
@@ -138,6 +149,24 @@ def _swap_sweep(states: HMCState, betas: Array, raw_logp: Array, key: Array, par
     return new_states, new_raw, swap_frac, pair_probs, proposed
 
 
+class PTFlow(NamedTuple):
+    """Replica-flow and pair statistics threaded across sampling chunks."""
+
+    labels: Array  # (K,) int32: +1 travelling up (hot->cold), -1 down
+    trips: Array  # () int32: completed beta_min -> 1 round trips
+    rej_sum: Array  # (K-1,) summed expected rejection of adjacent pairs
+    prop_count: Array  # (K-1,) number of times each pair was proposed
+
+
+def init_flow(n_replicas: int, dtype=jnp.float32) -> PTFlow:
+    return PTFlow(
+        labels=jnp.zeros((n_replicas,), jnp.int32),
+        trips=jnp.zeros((), jnp.int32),
+        rej_sum=jnp.zeros((n_replicas - 1,), dtype),
+        prop_count=jnp.zeros((n_replicas - 1,), dtype),
+    )
+
+
 class PTResult(NamedTuple):
     positions: Array  # (num_samples, dim) — the beta=1 replica
     logps: Array  # (num_samples,) raw log-density at beta=1
@@ -149,6 +178,13 @@ class PTResult(NamedTuple):
     # cold-chain ESS cannot exceed ~2x the round-trip count, so this says
     # whether mixing is ladder-limited).  None when not tracked.
     round_trips: Array | None = None
+    # estimated total communication barrier Lambda = sum of per-pair mean
+    # rejections over sampling; K ~ 2*Lambda replicas is the Syed et al.
+    # efficient-ladder depth (see tune_ladder).  None when not tracked.
+    barrier: Array | None = None
+    # (K-1,) per-pair mean rejection over sampling (the barrier's
+    # increments on this run's ladder).  None when not tracked.
+    pair_rej: Array | None = None
 
 
 def pt_init(
@@ -217,11 +253,13 @@ def _make_steps(logp, max_tree_depth, target_accept, free, adapt_ladder):
         return (states, key, betas, rej_sum, prop_count), None
 
     def sample_step(carry, inp):
-        states, key, betas, labels, trips = carry
+        states, key, betas, flow = carry
         key, k_swap = jax.random.split(key)
         states = jax.vmap(transition)(states, betas)
         raw = states.logp / betas
-        src, _, _, swap_frac = swap_decision(betas, raw, k_swap, inp["t"] % 2)
+        src, pair_probs, proposed, swap_frac = swap_decision(
+            betas, raw, k_swap, inp["t"] % 2
+        )
         new_pos = states.position[src]
         new_raw = raw[src]
         raw_grad = states.grad / betas[:, None]
@@ -233,11 +271,19 @@ def _make_steps(logp, max_tree_depth, target_accept, free, adapt_ladder):
         # replica-flow labels travel with the states: +1 after visiting the
         # hottest rung, -1 after the coldest; an up-labelled state reaching
         # the cold end completes one round trip
-        labels = labels[src]
+        labels = flow.labels[src]
         K = betas.shape[0]
-        trips = trips + (labels[0] > 0).astype(trips.dtype)
+        trips = flow.trips + (labels[0] > 0).astype(flow.trips.dtype)
         labels = labels.at[0].set(-1).at[K - 1].set(1)
-        return (states, key, betas, labels, trips), (new_pos[0], new_raw[0], swap_frac)
+        flow = PTFlow(
+            labels=labels,
+            trips=trips,
+            # Rao-Blackwellized barrier increments: expected (not realized)
+            # rejection of each proposed adjacent pair
+            rej_sum=flow.rej_sum + jnp.where(proposed, 1.0 - pair_probs, 0.0),
+            prop_count=flow.prop_count + proposed.astype(flow.prop_count.dtype),
+        )
+        return (states, key, betas, flow), (new_pos[0], new_raw[0], swap_frac)
 
     return warm_step, sample_step
 
@@ -263,24 +309,23 @@ def pt_warm_chunk(
 
 def pt_sample_chunk(
     logp, states, key, betas, num: int, t0,
-    max_tree_depth: int = 6, free=None, labels=None, trips=None,
+    max_tree_depth: int = 6, free=None, flow: PTFlow | None = None,
 ):
     """Run ``num`` sampling sweeps; returns cold-chain draws of the chunk.
 
-    ``labels``/``trips`` (optional) thread the replica-flow round-trip
-    counter across chunks; fresh counters are created when omitted.
-    Returns ``(states, key, positions, raws, swap_fracs, labels, trips)``.
+    ``flow`` (optional) threads the replica-flow round-trip counter and
+    the pair rejection statistics across chunks; a fresh :class:`PTFlow`
+    is created when omitted.
+    Returns ``(states, key, positions, raws, swap_fracs, flow)``.
     """
     _, sample_step = _make_steps(logp, max_tree_depth, 0.8, free, False)
     ts = t0 + jnp.arange(num)
-    if labels is None:
-        labels = jnp.zeros((betas.shape[0],), jnp.int32)
-    if trips is None:
-        trips = jnp.zeros((), jnp.int32)
-    (states, key, _, labels, trips), (positions, raws, swap_fracs) = jax.lax.scan(
-        sample_step, (states, key, betas, labels, trips), {"t": ts}
+    if flow is None:
+        flow = init_flow(betas.shape[0], betas.dtype)
+    (states, key, _, flow), (positions, raws, swap_fracs) = jax.lax.scan(
+        sample_step, (states, key, betas, flow), {"t": ts}
     )
-    return states, key, positions, raws, swap_fracs, labels, trips
+    return states, key, positions, raws, swap_fracs, flow
 
 
 def run_pt_nuts(
@@ -324,8 +369,56 @@ def run_pt_nuts(
         )
         states = jax.vmap(finalize_warmup)(states)
 
-    states, key, positions, raws, swap_fracs, _, trips = pt_sample_chunk(
+    states, key, positions, raws, swap_fracs, flow = pt_sample_chunk(
         logp, states, key, betas, num_samples, jnp.asarray(num_warmup),
         max_tree_depth, free,
     )
-    return PTResult(positions, raws, jnp.mean(swap_fracs), states, betas, trips)
+    pair_rej = flow.rej_sum / jnp.maximum(flow.prop_count, 1.0)
+    return PTResult(
+        positions, raws, jnp.mean(swap_fracs), states, betas, flow.trips,
+        jnp.sum(pair_rej), pair_rej,
+    )
+
+
+def tune_ladder(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    beta_min: float = 0.1,
+    pilot_replicas: int = 8,
+    pilot_warmup: int = 256,
+    pilot_samples: int = 128,
+    growth: float = 2.0,
+    max_replicas: int = 64,
+    max_tree_depth: int = 6,
+    free: Array | None = None,
+) -> tuple[Array, PTResult]:
+    """Auto-tune the ladder DEPTH from a pilot run (Syed et al. 2019).
+
+    Runs a ``pilot_replicas``-rung pilot (with within-run rung placement),
+    estimates the total communication barrier Lambda from the pilot's
+    Rao-Blackwellized pair rejections, sets
+
+        K* = clip(ceil(1 + growth * Lambda), 2, max_replicas)
+
+    (``growth=2`` is the paper's efficient regime: per-pair rejection
+    ~Lambda/(K-1) <= 1/2 keeps the round-trip rate within a constant of
+    its K -> infinity limit), and places the K* rungs at equal barrier
+    increments on the pilot grid.  Returns ``(betas_star, pilot_result)``
+    — pass ``betas_star`` to :func:`run_pt_nuts` (or the distributed
+    runner) as ``betas``.
+
+    Round trips, not sweeps, bound cold-chain ESS (PTResult.round_trips);
+    when a run measures ESS ~= 2x round trips, deepening the ladder via
+    this tuner is the scaling lever.
+    """
+    pilot = run_pt_nuts(
+        logp, position0, rng,
+        n_replicas=pilot_replicas, beta_min=beta_min,
+        num_warmup=pilot_warmup, num_samples=pilot_samples,
+        max_tree_depth=max_tree_depth, free=free, adapt_ladder=True,
+    )
+    barrier = float(pilot.barrier)
+    n_star = min(max(math.ceil(1.0 + growth * barrier), 2), max_replicas)
+    betas_star = place_rungs(pilot.betas, pilot.pair_rej, n_star)
+    return betas_star, pilot

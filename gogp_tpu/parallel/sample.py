@@ -226,9 +226,11 @@ def run_pt_distributed(
     """
     from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
     from gogp_tpu.infer.tempering import (
+        PTFlow,
         PTResult,
         adapt_ladder_betas,
         geometric_ladder,
+        init_flow,
         swap_decision,
     )
 
@@ -292,7 +294,7 @@ def run_pt_distributed(
             )
             return (
                 states, new_raw, new_rawg, pair_probs, proposed, swap_frac,
-                pos_f[src[0]], raw_f[src[0]],
+                pos_f[src[0]], raw_f[src[0]], src,
             )
 
         def warm_step(carry, inp):
@@ -303,7 +305,7 @@ def run_pt_distributed(
             states = jax.vmap(
                 lambda s: warmup_step(s, inp["um"], inp["we"], target_accept)
             )(states)
-            states, new_raw, new_rawg, pair_probs, proposed, _, _, _ = swap(
+            states, new_raw, new_rawg, pair_probs, proposed, _, _, _, _ = swap(
                 states, betas_full, k_swap, inp["t"]
             )
             rej_sum = rej_sum + jnp.where(proposed, 1.0 - pair_probs, 0.0)
@@ -327,13 +329,25 @@ def run_pt_distributed(
             return (states, key, betas_full, rej_sum, prop_count), None
 
         def sample_step(carry, t):
-            states, key, betas_full = carry
+            states, key, betas_full, flow = carry
             key, k_swap = jax.random.split(key)
             states = jax.vmap(transition)(states, betas_loc_of(betas_full))
-            states, _, _, _, _, swap_frac, cold_pos, cold_raw = swap(
+            states, _, _, pair_probs, proposed, swap_frac, cold_pos, cold_raw, src = swap(
                 states, betas_full, k_swap, t
             )
-            return (states, key, betas_full), (cold_pos, cold_raw, swap_frac)
+            # replica-flow round trips + Rao-Blackwellized pair rejections:
+            # src/pair stats are replicated, so every device computes the
+            # identical O(K) update (infer.tempering.sample_step)
+            labels = flow.labels[src]
+            trips = flow.trips + (labels[0] > 0).astype(flow.trips.dtype)
+            labels = labels.at[0].set(-1).at[K - 1].set(1)
+            flow = PTFlow(
+                labels=labels,
+                trips=trips,
+                rej_sum=flow.rej_sum + jnp.where(proposed, 1.0 - pair_probs, 0.0),
+                prop_count=flow.prop_count + proposed.astype(flow.prop_count.dtype),
+            )
+            return (states, key, betas_full, flow), (cold_pos, cold_raw, swap_frac)
 
         zeros = jnp.zeros((K - 1,), dtype)
         betas_f = betas0
@@ -347,10 +361,11 @@ def run_pt_distributed(
             )
             states = jax.vmap(finalize_warmup)(states)
         ts2 = num_warmup + jnp.arange(num_samples)
-        (states, _, betas_f), (cold_pos, cold_raw, swap_fracs) = jax.lax.scan(
-            sample_step, (states, key, betas_f), ts2
+        flow0 = init_flow(K, dtype)
+        (states, _, betas_f, flow), (cold_pos, cold_raw, swap_fracs) = jax.lax.scan(
+            sample_step, (states, key, betas_f, flow0), ts2
         )
-        return cold_pos, cold_raw, jnp.mean(swap_fracs), states, betas_f
+        return cold_pos, cold_raw, jnp.mean(swap_fracs), states, betas_f, flow
 
     shard = P((CHAIN_AXIS, DATA_AXIS))
     rep = P()
@@ -359,12 +374,16 @@ def run_pt_distributed(
             device_fn,
             mesh=mesh,
             in_specs=(shard, shard),
-            out_specs=(rep, rep, rep, shard, rep),
+            out_specs=(rep, rep, rep, shard, rep, rep),
             check_vma=False,
         )
     )
-    cold_pos, cold_raw, swap_rate, states, betas_f = fn(position0, init_keys)
-    return PTResult(cold_pos, cold_raw, swap_rate, states, betas_f)
+    cold_pos, cold_raw, swap_rate, states, betas_f, flow = fn(position0, init_keys)
+    pair_rej = flow.rej_sum / jnp.maximum(flow.prop_count, 1.0)
+    return PTResult(
+        cold_pos, cold_raw, swap_rate, states, betas_f, flow.trips,
+        jnp.sum(pair_rej), pair_rej,
+    )
 
 
 def run_pt_sharded(

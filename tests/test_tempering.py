@@ -62,3 +62,54 @@ class TestPT:
         assert np.all(np.diff(b) < 0)
         b1 = np.asarray(tempering.geometric_ladder(1))
         assert b1.shape == (1,) and b1[0] == 1.0
+
+
+class TestLadderDepth:
+    def test_place_rungs_resizes_and_pins_endpoints(self):
+        betas = tempering.geometric_ladder(4, 0.1, jnp.float64)
+        rej = jnp.asarray([0.3, 0.3, 0.3], jnp.float64)  # equalized barrier
+        out = np.asarray(tempering.place_rungs(betas, rej, 7))
+        assert out.shape == (7,)
+        assert np.isclose(out[0], 1.0) and np.isclose(out[-1], 0.1)
+        assert np.all(np.diff(out) < 0)
+        # shrink too
+        out3 = np.asarray(tempering.place_rungs(betas, rej, 3))
+        assert out3.shape == (3,) and np.isclose(out3[0], 1.0)
+
+    def test_place_rungs_concentrates_where_barrier_is(self):
+        """All rejection in the first pair -> new interior rungs crowd the
+        high-beta end of the ladder."""
+        betas = jnp.asarray([1.0, 0.7, 0.4, 0.1], jnp.float64)
+        rej = jnp.asarray([0.9, 0.01, 0.01], jnp.float64)
+        out = np.asarray(tempering.place_rungs(betas, rej, 4))
+        # interior rungs pulled toward [0.7, 1.0] where the barrier lives
+        assert out[1] > 0.7 and out[2] > 0.55
+
+    def test_barrier_and_flow_tracked(self):
+        res = tempering.run_pt_nuts(
+            bimodal_logp, jnp.full((1,), 4.0), jax.random.PRNGKey(2),
+            n_replicas=6, beta_min=0.02, num_warmup=200, num_samples=300,
+        )
+        assert res.barrier is not None and float(res.barrier) > 0.0
+        assert res.pair_rej.shape == (5,)
+        # expected rejections are probabilities
+        pr = np.asarray(res.pair_rej)
+        assert np.all(pr >= 0.0) and np.all(pr <= 1.0)
+        assert int(res.round_trips) >= 0
+
+    def test_tune_ladder_easy_target_shallow(self):
+        """A unimodal Gaussian with a mild beta range has a small barrier:
+        the tuner must recommend a SHALLOWER ladder than the pilot's 8."""
+
+        def logp(v):
+            return -0.5 * jnp.sum(v * v)
+
+        betas, pilot = tempering.tune_ladder(
+            logp, jnp.zeros(2), jax.random.PRNGKey(3),
+            beta_min=0.5, pilot_replicas=8,
+            pilot_warmup=150, pilot_samples=100,
+        )
+        b = np.asarray(betas)
+        assert b.shape[0] < 8, b
+        assert np.isclose(b[0], 1.0) and np.isclose(b[-1], 0.5)
+        assert float(pilot.barrier) < 1.5

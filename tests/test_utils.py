@@ -73,15 +73,15 @@ def test_pt_checkpoint_resume(tmp_path):
     states, key = pt_init(logp, jnp.zeros(2), jax.random.PRNGKey(0), betas)
 
     # run one chunk, checkpoint, run second chunk two ways
-    states1, key1, _, _, _, _, _ = pt_sample_chunk(logp, states, key, betas, 10, jnp.asarray(0))
+    states1, key1, _, _, _, _ = pt_sample_chunk(logp, states, key, betas, 10, jnp.asarray(0))
     path = tmp_path / "pt_ckpt"
     utils.save(path, (states1, key1))
     restored_states, restored_key = utils.restore(path, like=(states1, key1))
 
-    _, _, pos_direct, _, _, _, _ = pt_sample_chunk(
+    _, _, pos_direct, _, _, _ = pt_sample_chunk(
         logp, states1, key1, betas, 10, jnp.asarray(10)
     )
-    _, _, pos_resumed, _, _, _, _ = pt_sample_chunk(
+    _, _, pos_resumed, _, _, _ = pt_sample_chunk(
         logp, restored_states, restored_key, betas, 10, jnp.asarray(10)
     )
     assert np.allclose(np.asarray(pos_direct), np.asarray(pos_resumed))

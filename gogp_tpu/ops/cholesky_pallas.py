@@ -689,6 +689,55 @@ def blocked_trsm_lower_t(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Arra
     return X
 
 
+def _tril_inv_fori(L: Array, block: int, invs: Array) -> Array:
+    """fori_loop blocked triangular inverse (compile-size-safe for large
+    nb; masked full-width row reads like :func:`_trsm_lower_fori`)."""
+    n = L.shape[-1]
+    nb = n // block
+
+    def step(k, X):
+        c0 = k * block
+        L_rows = jax.lax.dynamic_slice(L, (c0, 0), (block, n))
+        # X rows >= c0 are still zero, so L_rows @ X picks up exactly
+        # L[k, :k] @ W[:k]; W's triangularity keeps columns >= c0 zero
+        upd = -(invs[k] @ (L_rows @ X))
+        row = upd + jax.lax.dynamic_update_slice(
+            jnp.zeros((block, n), L.dtype), invs[k], (0, c0)
+        )
+        return jax.lax.dynamic_update_slice(X, row, (c0, 0))
+
+    return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(L))
+
+
+def blocked_tril_inv(
+    L: Array, block: int = DEFAULT_BLOCK, invs: Array | None = None
+) -> Array:
+    """W = inv(L) for lower-triangular L, exploiting W's triangularity.
+
+    Forward substitution down block rows, but unlike
+    ``blocked_trsm_lower(L, I)`` the trailing product runs only over the
+    nonzero (c0, c0) corner of W — ~2n^3/3 FLOPs instead of ~2n^3.
+    ``invs``: optional (nb, block, block) diagonal-tile inverses (the
+    factorization by-product); computed when omitted.
+    """
+    n = L.shape[-1]
+    if n % block != 0:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    nb = n // block
+    if invs is None:
+        invs = _tile_invs(L, block)
+    if nb > _MAX_UNROLL_STEPS:
+        return _tril_inv_fori(L, block, invs)
+    X = jnp.zeros_like(L)
+    for k in range(nb):
+        c0, c1 = k * block, (k + 1) * block
+        if k > 0:
+            blk = -(invs[k] @ (L[c0:c1, :c0] @ X[:c0, :c0]))
+            X = X.at[c0:c1, :c0].set(blk)
+        X = X.at[c0:c1, c0:c1].set(invs[k])
+    return X
+
+
 def _phi(A: Array) -> Array:
     """tril(A) with the diagonal halved — the Cholesky pullback projector.
 
@@ -794,7 +843,7 @@ def _lml_core_impl(K: Array, y: Array, block: int):
         alpha = blocked_trsm_lower_t(L, z, block)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     value = -0.5 * (logdet + jnp.dot(z, z))
-    return value, (L, alpha)
+    return value, (L, alpha, invs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -808,11 +857,14 @@ def _lml_core_fwd(K, y, block):
 
 
 def _lml_core_bwd(block, res, g):
-    L, alpha = res
-    n = L.shape[-1]
-    eye = jnp.eye(n, dtype=L.dtype)
-    W = blocked_trsm_lower(L, eye, block)
-    Kinv = blocked_trsm_lower_t(L, W, block)
+    L, alpha, invs = res
+    # K^-1 = W^T W with W = inv(L): one blocked triangular inverse
+    # (~2n^3/3 FLOPs, reusing the factorization's tile inverses) plus one
+    # dense MXU matmul — replaces two sequential full-width TRSMs.
+    W = blocked_tril_inv(L, block, invs)
+    Kinv = jax.lax.dot_general(
+        W, W, (((0,), (0,)), ((), ())), preferred_element_type=W.dtype
+    )
     Kbar = (0.5 * g) * (jnp.outer(alpha, alpha) - Kinv)
     ybar = -g * alpha
     return Kbar, ybar

@@ -187,6 +187,34 @@ class TestLmlCoreDispatch:
         assert np.isclose(got, want, atol=1e-9)
 
 
+class TestBlockedTrilInv:
+    @pytest.mark.parametrize("n,block", [(64, 16), (128, 32), (256, 64)])
+    def test_matches_solve(self, n, block):
+        L = jnp.linalg.cholesky(spd(n, seed=30))
+        with cp.force_interpret():
+            W = np.asarray(cp.blocked_tril_inv(L, block))
+        want = np.asarray(
+            jax.scipy.linalg.solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+        )
+        assert np.allclose(W, want, atol=1e-9)
+        # strictly upper triangle exactly zero (structure exploited)
+        assert np.all(W[np.triu_indices(n, 1)] == 0.0)
+
+    def test_fori_path_matches_unrolled(self):
+        n, block = 64, 8  # nb=8; force the fori path by monkeypatched cap
+        L = jnp.linalg.cholesky(spd(n, seed=31))
+        with cp.force_interpret():
+            unrolled = np.asarray(cp.blocked_tril_inv(L, block))
+            invs = cp._tile_invs(L, block)
+            fori = np.asarray(cp._tril_inv_fori(L, block, invs))
+        assert np.allclose(unrolled, fori, atol=1e-10)
+
+    def test_rejects_bad_block(self):
+        L = jnp.eye(65)
+        with pytest.raises(ValueError):
+            cp.blocked_tril_inv(L, 16)
+
+
 class TestMatmulPrecisionContext:
     """jax.default_matmul_precision is the supported accuracy knob (on TPU
     the DEFAULT f32 dot is one bf16 MXU pass; 'tensorfloat32' buys ~50x

@@ -581,6 +581,166 @@ def pallas_trsv_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
     return out[:, 0]
 
 
+def _tri_kj(t):
+    """Linear triangular index t -> (k, j) with 0 <= j <= k, row-major
+    over the lower triangle (t = k(k+1)/2 + j).  Float sqrt inversion
+    with integer guards against rounding at row boundaries."""
+    tf = t.astype(jnp.float32)
+    k = jnp.floor((jnp.sqrt(8.0 * tf + 1.0) - 1.0) * 0.5).astype(jnp.int32)
+    k = jnp.where((k + 1) * (k + 2) // 2 <= t, k + 1, k)
+    k = jnp.where(k * (k + 1) // 2 > t, k - 1, k)
+    j = t - k * (k + 1) // 2
+    return k, j
+
+
+def _trsv2d_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
+    """Triangular-grid streaming forward TRSV: step t visits lower-triangle
+    block (k, j); j < k accumulates L[k,j] @ x[j], j == k solves."""
+    t = pl.program_id(0)
+    k, j = _tri_kj(t)
+    block = y_ref.shape[0]
+    prec = _kernel_precision()
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < k)
+    def _():
+        xj = xs_ref[pl.ds(j * block, block), :]
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            lblk_ref[:], xj, (((1,), (0,)), ((), ())),
+            preferred_element_type=y_ref.dtype, precision=prec,
+        )
+
+    @pl.when(j == k)
+    def _():
+        xk = jax.lax.dot_general(
+            inv_ref[0], y_ref[:] - acc_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=y_ref.dtype, precision=prec,
+        )
+        xs_ref[pl.ds(k * block, block), :] = xk
+        x_ref[:] = xk
+
+
+def _trsv2d_t_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
+    """Triangular-grid transpose TRSV, bottom-up: row k (descending) needs
+    L[j, k]^T @ x[j] for j > k (descending), then the inv^T solve."""
+    t = pl.program_id(0)
+    block = y_ref.shape[0]
+    nb = xs_ref.shape[0] // block
+    kp, jp = _tri_kj(t)
+    k = nb - 1 - kp
+    j = nb - 1 - jp
+    prec = _kernel_precision()
+
+    @pl.when(jp == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j > k)
+    def _():
+        xj = xs_ref[pl.ds(j * block, block), :]
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            lblk_ref[:], xj, (((0,), (0,)), ((), ())),
+            preferred_element_type=y_ref.dtype, precision=prec,
+        )
+
+    @pl.when(j == k)
+    def _():
+        xk = jax.lax.dot_general(
+            inv_ref[0], y_ref[:] - acc_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=y_ref.dtype, precision=prec,
+        )
+        xs_ref[pl.ds(k * block, block), :] = xk
+        x_ref[:] = xk
+
+
+def pallas_trsv2d_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
+    """x = L^{-1} y over a TRIANGULAR grid of (block, block) tiles.
+
+    Unlike :func:`pallas_trsv_lower` (whole (block, n) panels resident,
+    gated to ~8 MB), each step holds ONE tile — any n — and only the
+    lower triangle is ever DMA'd: half the HBM traffic of the panel form
+    and of the blocked-XLA fallback.
+    """
+    n = L.shape[-1]
+    nb = n // block
+    y2 = y[:, None]
+    steps = nb * (nb + 1) // 2
+
+    def l_idx(t):
+        k, j = _tri_kj(t)
+        return (k, j)
+
+    def row_idx(t):
+        k, _ = _tri_kj(t)
+        return (k, 0)
+
+    def inv_idx(t):
+        k, _ = _tri_kj(t)
+        return (k, 0, 0)
+
+    out = pl.pallas_call(
+        _trsv2d_kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((block, 1), row_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, block), l_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), inv_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 1), row_idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), L.dtype),
+        scratch_shapes=[pltpu.VMEM((block, 1), L.dtype), pltpu.VMEM((n, 1), L.dtype)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=n * n, bytes_accessed=n * n * L.dtype.itemsize // 2,
+            transcendentals=0,
+        ),
+    )(y2, L, invs.reshape(nb, block, block))
+    return out[:, 0]
+
+
+def pallas_trsv2d_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
+    """x = L^{-T} y over a triangular tile grid, bottom-up (see
+    :func:`pallas_trsv2d_lower`)."""
+    n = L.shape[-1]
+    nb = n // block
+    y2 = y[:, None]
+    steps = nb * (nb + 1) // 2
+
+    def l_idx(t):
+        kp, jp = _tri_kj(t)
+        return (nb - 1 - jp, nb - 1 - kp)  # block L[j, k]
+
+    def row_idx(t):
+        kp, _ = _tri_kj(t)
+        return (nb - 1 - kp, 0)
+
+    def inv_idx(t):
+        kp, _ = _tri_kj(t)
+        return (nb - 1 - kp, 0, 0)
+
+    out = pl.pallas_call(
+        _trsv2d_t_kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((block, 1), row_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, block), l_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), inv_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 1), row_idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), L.dtype),
+        scratch_shapes=[pltpu.VMEM((block, 1), L.dtype), pltpu.VMEM((n, 1), L.dtype)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=n * n, bytes_accessed=n * n * L.dtype.itemsize // 2,
+            transcendentals=0,
+        ),
+    )(y2, L, invs.reshape(nb, block, block))
+    return out[:, 0]
+
+
 def _tile_invs(L: Array, block: int) -> Array:
     """(nb, block, block) stack of inv(L_kk) diagonal-tile inverses."""
     n = L.shape[-1]
@@ -828,16 +988,18 @@ def maybe_pallas_cholesky(K: Array):
 def _lml_core_impl(K: Array, y: Array, block: int):
     L, invs = blocked_cholesky_invs(K, block)
     n = K.shape[-1]
-    # streaming solves keep a (block, n) L panel in VMEM per grid step;
-    # past ~8 MB that overflows scoped VMEM (observed at 16k x 512), and
-    # at those sizes the vector solves are immaterial next to the n^3
-    # factorization anyway — fall back to the blocked XLA-op form.
+    # streaming solves reuse the tile inverses the factorization already
+    # produced.  The 1-D panel form keeps a (block, n) L panel in VMEM per
+    # grid step; past ~8 MB that overflows scoped VMEM (observed at 16k x
+    # 512) — the triangular-grid form holds one (block, block) tile per
+    # step (any n) and DMAs only the lower triangle.
     panel_bytes = block * n * K.dtype.itemsize
     if (block % 128 == 0 and panel_bytes <= 8 * 1024 * 1024) or _INTERPRET:
-        # streaming single-program vector solves, reusing the tile
-        # inverses the factorization already produced
         z = pallas_trsv_lower(L, y, invs, block)
         alpha = pallas_trsv_lower_t(L, z, invs, block)
+    elif block % 128 == 0:
+        z = pallas_trsv2d_lower(L, y, invs, block)
+        alpha = pallas_trsv2d_lower_t(L, z, invs, block)
     else:
         z = blocked_trsm_lower(L, y, block)
         alpha = blocked_trsm_lower_t(L, z, block)

@@ -187,6 +187,34 @@ class TestLmlCoreDispatch:
         assert np.isclose(got, want, atol=1e-9)
 
 
+class TestTriangularGridTrsv:
+    """2-D (triangular-grid) streaming TRSV — the any-n form that lifts
+    the 1-D panel kernel's ~8 MB VMEM gate."""
+
+    @pytest.mark.parametrize("n,block", [(64, 16), (128, 32), (384, 128)])
+    def test_forward_and_transpose(self, n, block):
+        L = jnp.linalg.cholesky(spd(n, seed=40))
+        y = jnp.asarray(np.random.default_rng(41).normal(size=n))
+        with cp.force_interpret():
+            invs = cp._tile_invs(L, block)
+            z = np.asarray(cp.pallas_trsv2d_lower(L, y, invs, block))
+            a = np.asarray(cp.pallas_trsv2d_lower_t(L, jnp.asarray(z), invs, block))
+        want_z = np.asarray(jax.scipy.linalg.solve_triangular(L, y, lower=True))
+        want_a = np.asarray(
+            jax.scipy.linalg.solve_triangular(L, jnp.asarray(want_z), lower=True, trans=1)
+        )
+        assert np.allclose(z, want_z, atol=1e-9)
+        assert np.allclose(a, want_a, atol=1e-9)
+
+    def test_tri_kj_exact(self):
+        ts = jnp.arange(0, 300)
+        k, j = jax.vmap(cp._tri_kj)(ts)
+        k, j = np.asarray(k), np.asarray(j)
+        want = [(kk, jj) for kk in range(30) for jj in range(kk + 1)][:300]
+        got = list(zip(k.tolist(), j.tolist()))
+        assert got == want[: len(got)]
+
+
 class TestBlockedTrilInv:
     @pytest.mark.parametrize("n,block", [(64, 16), (128, 32), (256, 64)])
     def test_matches_solve(self, n, block):

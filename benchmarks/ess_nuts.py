@@ -191,6 +191,77 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
     }
 
 
+def run_chees_bench(chains: int = 64, num_warmup: int = 512, num_samples: int = 512,
+                    seed: int = 0, max_steps: int = 256):
+    """ChEES-HMC: one shared adaptively-tuned trajectory for the whole chain
+    population — no per-chain tree depth, so a vmapped step is pure lockstep
+    batched leapfrog (the TPU-shaped sampler; infer/chees.py)."""
+    from gogp_tpu.infer import adapt, diagnostics
+    from gogp_tpu.infer.chees import (
+        chees_init,
+        chees_sample_chunk,
+        chees_warm_chunk,
+        finalize_chees_warmup,
+    )
+
+    logp, dim = build_logp()
+    x0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
+    )
+    sched = adapt.build_schedule(num_warmup)
+    state = chees_init(logp, x0, jax.random.PRNGKey(seed), 0.1, 1.0)
+    jax.block_until_ready(state)
+
+    @jax.jit
+    def warm_chunk(state, um, we):
+        return chees_warm_chunk(logp, state, um, we, max_steps)
+
+    t0 = time.perf_counter()
+    for i in range(0, num_warmup, CHUNK):
+        state = warm_chunk(
+            state, sched.update_mass[i : i + CHUNK], sched.window_end[i : i + CHUNK]
+        )
+    np.asarray(state.logps)  # sync (block_until_ready does not wait through the tunnel)
+    warm_time = time.perf_counter() - t0
+    state = jax.jit(finalize_chees_warmup)(state)
+
+    @jax.jit
+    def sample_chunk(state):
+        state, (pos, _, acc) = chees_sample_chunk(logp, state, CHUNK, max_steps)
+        return state, jnp.swapaxes(pos, 0, 1), acc  # (chains, CHUNK, dim)
+
+    state_c, pos_c, _ = sample_chunk(state)
+    np.asarray(pos_c)  # synced compile warmup
+
+    chunks, accs = [], []
+    t0 = time.perf_counter()
+    for _ in range(0, num_samples, CHUNK):
+        state, pos, acc = sample_chunk(state)
+        chunks.append(np.asarray(pos))  # forces device sync per chunk
+        accs.append(np.asarray(acc))
+    walltime = time.perf_counter() - t0
+
+    pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
+    ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
+    min_ess = float(ess_per_param.min())
+    return {
+        "metric": "ess_per_sec_chees_hyperpriors",
+        "value": round(min_ess / walltime, 2),
+        "unit": "ESS/s",
+        "min_ess": round(min_ess, 1),
+        "walltime_s": round(walltime, 3),
+        "warmup_s": round(warm_time, 3),
+        "chains": chains,
+        "samples_per_chain": num_samples,
+        "ess_per_param": [round(float(e), 1) for e in ess_per_param],
+        "accept_rate": round(float(np.mean(accs)), 3),
+        "step_size": round(float(state.step_size), 4),
+        "traj_length": round(float(np.exp(state.log_traj)), 4),
+        "sampler": "chees-hmc",
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: int = 0, max_depth: int = 8):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
@@ -276,6 +347,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
+    ap.add_argument("--chees", action="store_true", help="ChEES-HMC (shared adaptive trajectory)")
+    ap.add_argument("--max-steps", type=int, default=256,
+                    help="with --chees: leapfrog-steps-per-transition cap")
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--beta-min", type=float, default=0.05)
     ap.add_argument(
@@ -321,6 +395,9 @@ def main():
             if args.pt:
                 out = run_pt(c, args.replicas, args.warmup, args.samples,
                              args.seed, args.max_depth, args.beta_min, betas0)
+            elif args.chees:
+                out = run_chees_bench(c, args.warmup, args.samples, args.seed,
+                                      args.max_steps)
             else:
                 out = run(c, args.warmup, args.samples, args.seed, args.max_depth)
             out["samples_per_sec"] = round(c * args.samples / out["walltime_s"], 1)
@@ -329,6 +406,9 @@ def main():
     if args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
                      args.seed, args.max_depth, args.beta_min, betas0)
+    elif args.chees:
+        out = run_chees_bench(args.chains, args.warmup, args.samples, args.seed,
+                              args.max_steps)
     else:
         out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
     out["samples_per_sec"] = round(args.chains * args.samples / out["walltime_s"], 1)

@@ -7,6 +7,15 @@ subsystem per BASELINE.json's north star.
 
 from gogp_tpu.infer import adapt, diagnostics, mle
 from gogp_tpu.infer.advi import ADVIResult, elbo, run_advi, sample_posterior
+from gogp_tpu.infer.chees import (
+    ChEESState,
+    chees_init,
+    chees_sample_chunk,
+    chees_transition,
+    chees_warm_chunk,
+    finalize_chees_warmup,
+    run_chees,
+)
 from gogp_tpu.infer.diagnostics import ess, split_rhat
 from gogp_tpu.infer.hmc import (
     HMCState,
@@ -31,6 +40,13 @@ from gogp_tpu.infer.tempering import (
 
 __all__ = [
     "ADVIResult",
+    "ChEESState",
+    "chees_init",
+    "chees_sample_chunk",
+    "chees_transition",
+    "chees_warm_chunk",
+    "finalize_chees_warmup",
+    "run_chees",
     "HMCState",
     "IntegratorState",
     "OptResult",

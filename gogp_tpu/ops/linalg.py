@@ -32,6 +32,65 @@ def force_xla():
         _FORCE_XLA = prev
 
 
+# Precision-escalation rescue.  On TPU the blocked drivers' structural
+# matmuls run at JAX's default f32 dot precision — a single bf16 MXU pass.
+# For most GP covariances that is the measured 2-5x speed win at ~1e-3
+# gradient accuracy, but a matrix that is f32-Cholesky-able yet has
+# structure below bf16 resolution (e.g. near-duplicate inputs whose
+# correlations differ from 1 by <1e-3) can push a trailing Schur complement
+# negative and the factorization NaNs — while XLA's own Cholesky, which
+# pins high-precision matmuls internally, survives.  Rescue: when the fast
+# path produces a non-finite result, a lax.cond branch recomputes with the
+# SAME blocked kernels re-traced under jax.default_matmul_precision
+# ("float32") — the failure dimension is arithmetic precision, not
+# positive-definiteness, so this (and not jitter) is the right first
+# escalation.
+#
+# The wrapper is NOT free while dormant: the lax.cond is an HLO program
+# break, measured ~0.8 ms on the n=4096 LML+gradient path (3.1 -> 4.3 ms,
+# v5e) but <2% at n=16k where the pair compute is ~50 ms.  The bf16
+# failure itself is size-coupled — the sub-resolution structure that kills
+# a Schur complement comes from input spacings that shrink as n grows (the
+# observed failure is 16k near-duplicate inputs; every 4096-point golden
+# holds 1e-3 gradients) — so the rescue engages only at n >= _RESCUE_MIN_N
+# by default.  precision_rescue(min_n=0) widens it to every blocked
+# dispatch; no_precision_rescue() removes it (e.g. to vmap a large-n lml:
+# under vmap, cond lowers to select and BOTH branches execute).
+_RESCUE = True
+_RESCUE_MIN_N = 8192
+
+
+@contextlib.contextmanager
+def precision_rescue(min_n: int = 0):
+    """Engage the NaN -> float32-precision rescue for any blocked dispatch
+    of size >= ``min_n`` (default: all of them)."""
+    global _RESCUE, _RESCUE_MIN_N
+    prev = (_RESCUE, _RESCUE_MIN_N)
+    _RESCUE, _RESCUE_MIN_N = True, min_n
+    try:
+        yield
+    finally:
+        _RESCUE, _RESCUE_MIN_N = prev
+
+
+@contextlib.contextmanager
+def no_precision_rescue():
+    global _RESCUE
+    prev, _RESCUE = _RESCUE, False
+    try:
+        yield
+    finally:
+        _RESCUE = prev
+
+
+def _rescue_engaged(n: int) -> bool:
+    return (
+        _RESCUE
+        and n >= _RESCUE_MIN_N
+        and jax.config.jax_default_matmul_precision in (None, "bfloat16", "default")
+    )
+
+
 def cholesky(K: Array) -> Array:
     """Lower Cholesky factor of an SPD matrix.
 
@@ -43,6 +102,14 @@ def cholesky(K: Array) -> Array:
 
         out = maybe_pallas_cholesky(K)
         if out is not None:
+            if _rescue_engaged(K.shape[-1]):
+
+                def hi(K):
+                    with jax.default_matmul_precision("float32"):
+                        return maybe_pallas_cholesky(K)
+
+                ok = jnp.all(jnp.isfinite(jnp.diagonal(out)))
+                return jax.lax.cond(ok, lambda K: out, hi, K)
             return out
     return jnp.linalg.cholesky(K)
 
@@ -104,6 +171,15 @@ def lml_core(K: Array, y: Array) -> Array:
 
         out = maybe_lml_core(K, y)
         if out is not None:
+            if _rescue_engaged(K.shape[-1]):
+
+                def hi(ops):
+                    with jax.default_matmul_precision("float32"):
+                        return maybe_lml_core(*ops)
+
+                return jax.lax.cond(
+                    jnp.isfinite(out), lambda ops: out, hi, (K, y)
+                )
             return out
     L = jnp.linalg.cholesky(K)
     z = solve_triangular(L, y, lower=True)

@@ -18,6 +18,7 @@ from gogp_tpu.parallel.mesh import (
 from gogp_tpu.parallel.sample import (
     run_hmc_sharded,
     run_mcmc_sharded,
+    run_chees_sharded,
     run_nuts_sharded,
     run_pt_distributed,
     run_pt_sharded,
@@ -37,6 +38,7 @@ __all__ = [
     "run_smc_large_n",
     "run_hmc_sharded",
     "run_mcmc_sharded",
+    "run_chees_sharded",
     "run_nuts_sharded",
     "run_pt_distributed",
     "run_pt_sharded",

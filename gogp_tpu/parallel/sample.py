@@ -188,6 +188,114 @@ run_nuts_sharded = functools.partial(run_mcmc_sharded, kind="nuts")
 run_hmc_sharded = functools.partial(run_mcmc_sharded, kind="hmc")
 
 
+def run_chees_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    init_traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_num_steps: int = 256,
+    traj_lr: float = 0.025,
+    free: Array | None = None,
+) -> Samples:
+    """ChEES-HMC with the chain population sharded over the mesh.
+
+    ChEES is the natural multi-device sampler: ALL of its adaptation
+    signals (mean accept, position means for the criterion centering, the
+    criterion gradient, the Welford mass moments) are plain cross-chain
+    means, so the distributed form is the single-device form with every
+    mean wrapped in a pmean over the device axes — infer.chees takes the
+    axis names directly.  Per-chain randomness is fold_in(key, global
+    chain index), so the draws match a single-device run chain-for-chain
+    and results are device-count invariant up to float reduction order.
+
+    Returns Samples with positions (num_samples, chains, dim), matching
+    run_chees.
+    """
+    from gogp_tpu.infer.chees import (
+        AdamState,
+        ChEESState,
+        chees_init,
+        chees_sample_chunk,
+        chees_warm_chunk,
+        finalize_chees_warmup,
+    )
+
+    position0 = jnp.asarray(position0)
+    n_chains, dim = position0.shape
+    axes = (CHAIN_AXIS, DATA_AXIS)
+    n_dev = mesh.devices.size
+    if n_chains % n_dev != 0:
+        raise ValueError(f"{n_chains} chains not divisible by {n_dev} devices")
+    local = n_chains // n_dev
+    sched = adapt.build_schedule(num_warmup)
+    rng = jnp.asarray(rng)
+    data_size = mesh.shape[DATA_AXIS]
+
+    def device_fn(pos_local):
+        dev = jax.lax.axis_index(CHAIN_AXIS) * data_size + jax.lax.axis_index(
+            DATA_AXIS
+        )
+        offset = dev * local
+        # same replicated key everywhere: shared scalars (step size, log T,
+        # halton counter) evolve identically; per-chain draws differ only
+        # through the global chain index
+        state = chees_init(logp, pos_local, rng, init_step_size, init_traj_length, free)
+        if num_warmup > 0:
+            state = chees_warm_chunk(
+                logp,
+                state,
+                sched.update_mass,
+                sched.window_end,
+                max_num_steps,
+                target_accept,
+                traj_lr,
+                free,
+                axes,
+                offset,
+            )
+            state = finalize_chees_warmup(state)
+        state, (pos, lps, acc) = chees_sample_chunk(
+            logp, state, num_samples, max_num_steps, free, axes, offset
+        )
+        return pos, lps, acc, state
+
+    shard = P(axes)
+    draws = P(None, axes)  # (num_samples, chains, ...)
+    repl = P()
+    state_spec = ChEESState(
+        positions=shard,
+        logps=shard,
+        grads=shard,
+        step_size=repl,
+        inv_mass=repl,
+        log_traj=repl,
+        accept_probs=shard,
+        da=adapt.DualAveragingState(repl, repl, repl, repl, repl),
+        adam=AdamState(repl, repl, repl),
+        welford=adapt.WelfordState(repl, repl, repl),
+        step=repl,
+        rng=repl,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard,),
+            out_specs=(draws, draws, draws, state_spec),
+            # scan carries mix device-varying chain state with replicated
+            # adaptation scalars; skip the varying-axis type check
+            check_vma=False,
+        )
+    )
+    pos, lps, acc, state = fn(position0)
+    return Samples(pos, lps, acc, state)
+
+
 def run_pt_distributed(
     logp: LogDensity,
     position0: Array,

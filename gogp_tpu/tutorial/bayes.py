@@ -1,8 +1,8 @@
 """Bayesian forecast driver: full-posterior inference on a case study.
 
 The reference's Evaluate loop is MLE-only (tutorial/tutorial.go:128-169);
-this driver runs a sampler over the study's log-joint — NUTS, HMC, ADVI or
-SMC (BASELINE.json configs: "hyperpriors: NUTS posterior over
+this driver runs a sampler over the study's log-joint — NUTS, HMC,
+ChEES-HMC, ADVI or SMC (BASELINE.json configs: "hyperpriors: NUTS posterior over
 hyperparameters", "anynoise: HMC + ADVI comparison") — then forecasts with
 the moment-matched posterior-predictive mixture over draws
 (gogp_tpu.gp.predict_mixture semantics, generalized to latent-input
@@ -86,7 +86,20 @@ def build_logjoint(study, x: np.ndarray, y: np.ndarray):
 def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
                      num_warmup: int, chains: int):
     key = jax.random.PRNGKey(seed)
-    if engine in ("nuts", "hmc"):
+    if engine == "chees":
+        # population sampler: the chain axis lives inside the state (shared
+        # adaptive trajectory), so no vmap — one call owns all chains
+        x0 = v0[None, :] + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(seed + 1), (chains, v0.shape[0])
+        ) * free[None, :]
+        res = jax.jit(
+            lambda q, k: infer.run_chees(
+                logp, q, k, num_warmup=num_warmup,
+                num_samples=max(1, num_samples // chains), free=free,
+            )
+        )(x0, key)
+        draws = np.asarray(res.positions).reshape(-1, v0.shape[0])
+    elif engine in ("nuts", "hmc"):
         runner = infer.run_nuts if engine == "nuts" else infer.run_hmc
         keys = jax.random.split(key, chains)
         x0 = v0[None, :] + 0.1 * jax.random.normal(
@@ -137,7 +150,10 @@ def mixture_forecast(gp, posterior_of, draws: np.ndarray, z: np.ndarray,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("study", choices=STUDIES)
-    ap.add_argument("--engine", default="nuts", choices=["nuts", "hmc", "advi", "smc"])
+    ap.add_argument(
+        "--engine", default="nuts",
+        choices=["nuts", "hmc", "chees", "advi", "smc"],
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--warmup", type=int, default=400)

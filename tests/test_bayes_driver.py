@@ -23,6 +23,7 @@ def run_driver(args):
     "study,engine",
     [
         ("hyperpriors", "nuts"),
+        ("hyperpriors", "chees"),
         ("barebones", "smc"),
         ("anynoise", "advi"),
     ],

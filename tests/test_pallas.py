@@ -273,3 +273,65 @@ class TestMatmulPrecisionContext:
             got_v, got_g = jax.value_and_grad(loss)(K)
         assert np.isclose(float(got_v), float(want_v), atol=1e-8)
         assert np.allclose(np.asarray(got_g), np.asarray(want_g), atol=1e-8)
+
+
+class TestPrecisionRescue:
+    """NaN -> high-precision re-trace rescue (linalg.py).  On TPU the
+    blocked drivers' default-precision (1-pass bf16) matmuls can NaN a
+    factorization that XLA's internally-high-precision Cholesky survives
+    (measured: 16k RBF with near-duplicate inputs, /tmp lore in STATUS.md);
+    linalg.cholesky/lml_core then recompute via the same kernels re-traced
+    under jax.default_matmul_precision('float32').  CPU interpret mode
+    cannot reproduce the bf16 failure, so these guard the WIRING: values
+    and gradients must be unchanged through the lax.cond, and the
+    escape hatches / size gate must remove the branch.  The rescue is
+    size-gated (n >= _RESCUE_MIN_N; the dormant cond costs ~26% at n=4096
+    but <2% at 16k) so the tests engage it via precision_rescue(min_n=0)."""
+
+    def test_lml_core_value_and_grad_through_rescue(self):
+        K = spd(128, seed=30)
+        y = jnp.asarray(np.random.default_rng(31).normal(size=128))
+
+        def loss(K):
+            return linalg.lml_core(K, y)
+
+        with linalg.force_xla():
+            want_v, want_g = jax.value_and_grad(loss)(K)
+        assert linalg._RESCUE  # default ON (above the size gate)
+        with linalg.precision_rescue(min_n=0), cp.force_interpret():
+            assert linalg._rescue_engaged(128)
+            got_v, got_g = jax.value_and_grad(jax.jit(loss))(K)
+        assert np.isclose(float(got_v), float(want_v), atol=1e-9)
+        assert np.allclose(np.asarray(got_g), np.asarray(want_g), atol=1e-8)
+
+    def test_cholesky_through_rescue(self):
+        K = spd(128, seed=32)
+        want = np.asarray(jnp.linalg.cholesky(K))
+        with linalg.precision_rescue(min_n=0), cp.force_interpret():
+            got = np.asarray(jnp.tril(jax.jit(linalg.cholesky)(K)))
+        assert np.allclose(got, want, atol=1e-10)
+
+    def test_no_precision_rescue_escape_hatch(self):
+        K = spd(128, seed=33)
+        y = jnp.asarray(np.random.default_rng(34).normal(size=128))
+        with linalg.no_precision_rescue():
+            assert not linalg._RESCUE
+            with cp.force_interpret():
+                got = float(linalg.lml_core(K, y))
+        assert linalg._RESCUE
+        with linalg.force_xla():
+            want = float(linalg.lml_core(K, y))
+        assert np.isclose(got, want, atol=1e-9)
+
+    def test_size_gate_and_ambient_precision(self):
+        # default: engaged only at n >= _RESCUE_MIN_N (the dormant cond is
+        # too expensive for the n=4096 headline path)
+        assert not linalg._rescue_engaged(4096)
+        assert linalg._rescue_engaged(linalg._RESCUE_MIN_N)
+        with linalg.precision_rescue(min_n=0):
+            assert linalg._rescue_engaged(128)
+        # with the ambient precision already high there is no headroom to
+        # escalate into — the dispatch must not wrap a cond
+        with jax.default_matmul_precision("float32"):
+            assert not linalg._rescue_engaged(1 << 20)
+        assert linalg._rescue_engaged(1 << 20)

@@ -214,3 +214,65 @@ class TestDistributedPT:
         betas = np.asarray(res.betas)
         assert np.isclose(betas[0], 1.0) and np.isclose(betas[-1], 0.05)
         assert np.all(np.diff(betas) < 0), betas
+
+
+class TestShardedChEES:
+    def test_moments_8dev(self, mesh8):
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(20), (16, 2))
+        res = parallel.run_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(0), mesh8,
+            num_warmup=400, num_samples=500,
+        )
+        pos = np.asarray(res.positions)  # (500, 16, 2)
+        assert pos.shape == (500, 16, 2)
+        flat = pos.reshape(-1, 2)
+        assert np.allclose(flat.mean(axis=0), MEAN, atol=0.15)
+        assert np.allclose(np.cov(flat.T), COV, atol=0.35)
+        rhat = np.asarray(
+            diagnostics.split_rhat(jnp.moveaxis(jnp.asarray(pos), 1, 0))
+        )
+        assert np.all(rhat < 1.05)
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        """fold_in(key, global chain index) randomness + pmean'd adaptation:
+        1-device and 8-device populations draw the same chains (up to float
+        reduction order in the cross-device means)."""
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(21), (8, 2))
+        kwargs = dict(num_warmup=100, num_samples=50)
+        r8 = parallel.run_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh8, **kwargs
+        )
+        r1 = parallel.run_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh1, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-5
+        )
+
+    def test_matches_single_device_run_chees(self, mesh1):
+        """The sharded driver on a 1x1 mesh must reproduce infer.run_chees
+        exactly — same transitions, same adaptation, pmean over a size-1
+        axis is the identity."""
+        from gogp_tpu import infer
+
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(22), (4, 2))
+        kwargs = dict(num_warmup=80, num_samples=40)
+        rs = parallel.run_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(5), mesh1, **kwargs
+        )
+        rl = infer.run_chees(mvn_logp, x0, jax.random.PRNGKey(5), **kwargs)
+        assert np.allclose(
+            np.asarray(rs.positions), np.asarray(rl.positions), atol=1e-6
+        )
+
+    def test_shared_mass_matrix(self, mesh8):
+        def scaled_logp(v):
+            return -0.5 * (v[0] ** 2 / 100.0 + v[1] ** 2 / 0.01)
+
+        x0 = jnp.zeros((8, 2))
+        res = parallel.run_chees_sharded(
+            scaled_logp, x0, jax.random.PRNGKey(1), mesh8,
+            num_warmup=600, num_samples=200,
+        )
+        inv_mass = np.asarray(res.state.inv_mass)  # (2,) shared
+        assert inv_mass[0] / inv_mass[1] > 100.0

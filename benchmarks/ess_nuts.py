@@ -191,6 +191,103 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
     }
 
 
+def run_pt_chees_bench(chains: int = 16, n_replicas: int = 8, num_warmup: int = 512,
+                       num_samples: int = 512, seed: int = 0,
+                       beta_min: float = 0.05, max_steps: int = 256, betas0=None):
+    """PT with ChEES rung populations: ``chains`` ladders, the chains at
+    each rung forming one cross-ladder ChEES population (infer/pt_chees.py).
+    One shared beta ladder (unlike run_pt's per-chain ladders) adapted from
+    ladder-averaged pair rejections; ESS from all cold chains."""
+    from gogp_tpu.infer import adapt, diagnostics
+    from gogp_tpu.infer.chees import finalize_chees_warmup
+    from gogp_tpu.infer.pt_chees import (
+        _init_flow_ladders,
+        geometric_ladder,
+        pt_chees_init,
+        pt_chees_sample_chunk,
+        pt_chees_warm_chunk,
+    )
+
+    logp, dim = build_logp()
+    if betas0 is not None:
+        betas = jnp.asarray(betas0, jnp.float32)
+        n_replicas = betas.shape[0]
+    else:
+        betas = geometric_ladder(n_replicas, beta_min, jnp.float32)
+    x0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
+    )
+    key, key_init = jax.random.split(jax.random.PRNGKey(seed))
+    state = pt_chees_init(logp, x0, key_init, betas, chains)
+    jax.block_until_ready(state)
+    sched = adapt.build_schedule(num_warmup)
+
+    @jax.jit
+    def warm_chunk(state, key, betas, um, we, t0):
+        return pt_chees_warm_chunk(logp, state, key, betas, um, we, t0, max_steps)
+
+    t0w = time.perf_counter()
+    for i in range(0, num_warmup, CHUNK):
+        state, key, betas = warm_chunk(
+            state, key, betas, sched.update_mass[i : i + CHUNK],
+            sched.window_end[i : i + CHUNK], jnp.asarray(i),
+        )
+    np.asarray(state.logps)  # sync through the tunnel
+    warm_time = time.perf_counter() - t0w
+    state = jax.jit(jax.vmap(finalize_chees_warmup))(state)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def sample_chunk(state, key, betas, num, t0, flow):
+        return pt_chees_sample_chunk(
+            logp, state, key, betas, num, t0, max_steps, flow=flow
+        )
+
+    flow0 = _init_flow_ladders(chains, betas)
+    st_c, k_c, pos_c, _, _, _ = sample_chunk(
+        state, key, betas, CHUNK, jnp.asarray(0), flow0
+    )
+    np.asarray(pos_c)  # synced compile warmup
+
+    flow = flow0
+    chunks, swaps = [], []
+    t0s = time.perf_counter()
+    for i in range(0, num_samples, CHUNK):
+        state, key, pos, _, sw, flow = sample_chunk(
+            state, key, betas, CHUNK, jnp.asarray(num_warmup + i), flow
+        )
+        chunks.append(np.asarray(pos))  # device sync per chunk
+        swaps.append(np.asarray(sw))
+    walltime = time.perf_counter() - t0s
+
+    pos = np.concatenate(chunks, axis=0)  # (S, L, dim)
+    pos = np.moveaxis(pos, 1, 0)  # (L, S, dim)
+    ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
+    min_ess = float(ess_per_param.min())
+    pair_rej = np.asarray(flow.rej_sum) / np.maximum(np.asarray(flow.prop_count), 1.0)
+    return {
+        "metric": "ess_per_sec_pt_chees_hyperpriors",
+        "value": round(min_ess / walltime, 2),
+        "unit": "ESS/s",
+        "min_ess": round(min_ess, 1),
+        "walltime_s": round(walltime, 3),
+        "warmup_s": round(warm_time, 3),
+        "chains": chains,
+        "n_replicas": n_replicas,
+        "samples_per_chain": num_samples,
+        "ess_per_param": [round(float(e), 1) for e in ess_per_param],
+        "swap_rate": round(float(np.mean(swaps)), 3),
+        "round_trips": int(np.asarray(flow.trips).sum()),
+        "barrier": round(float(np.sum(pair_rej)), 3),
+        "beta_min": beta_min,
+        "step_sizes": [round(float(s), 4) for s in np.asarray(state.step_size)],
+        "traj_lengths": [round(float(t), 3) for t in np.exp(np.asarray(state.log_traj))],
+        "sampler": "pt-chees",
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run_chees_bench(chains: int = 64, num_warmup: int = 512, num_samples: int = 512,
                     seed: int = 0, max_steps: int = 256):
     """ChEES-HMC: one shared adaptively-tuned trajectory for the whole chain
@@ -348,6 +445,8 @@ def main():
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
     ap.add_argument("--chees", action="store_true", help="ChEES-HMC (shared adaptive trajectory)")
+    ap.add_argument("--pt-chees", action="store_true",
+                    help="parallel tempering with ChEES rung populations")
     ap.add_argument("--max-steps", type=int, default=256,
                     help="with --chees: leapfrog-steps-per-transition cap")
     ap.add_argument("--replicas", type=int, default=8)
@@ -395,6 +494,10 @@ def main():
             if args.pt:
                 out = run_pt(c, args.replicas, args.warmup, args.samples,
                              args.seed, args.max_depth, args.beta_min, betas0)
+            elif args.pt_chees:
+                out = run_pt_chees_bench(c, args.replicas, args.warmup,
+                                         args.samples, args.seed,
+                                         args.beta_min, args.max_steps, betas0)
             elif args.chees:
                 out = run_chees_bench(c, args.warmup, args.samples, args.seed,
                                       args.max_steps)
@@ -406,6 +509,10 @@ def main():
     if args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
                      args.seed, args.max_depth, args.beta_min, betas0)
+    elif args.pt_chees:
+        out = run_pt_chees_bench(args.chains, args.replicas, args.warmup,
+                                 args.samples, args.seed, args.beta_min,
+                                 args.max_steps, betas0)
     elif args.chees:
         out = run_chees_bench(args.chains, args.warmup, args.samples, args.seed,
                               args.max_steps)

@@ -17,6 +17,13 @@ from gogp_tpu.infer.chees import (
     run_chees,
 )
 from gogp_tpu.infer.diagnostics import ess, split_rhat
+from gogp_tpu.infer.pt_chees import (
+    PTChEESResult,
+    pt_chees_init,
+    pt_chees_sample_chunk,
+    pt_chees_warm_chunk,
+    run_pt_chees,
+)
 from gogp_tpu.infer.hmc import (
     HMCState,
     IntegratorState,
@@ -62,11 +69,16 @@ __all__ = [
     "lbfgs",
     "leapfrog",
     "mle",
+    "PTChEESResult",
     "PTFlow",
     "PTResult",
     "geometric_ladder",
     "nuts_transition",
     "place_rungs",
+    "pt_chees_init",
+    "pt_chees_sample_chunk",
+    "pt_chees_warm_chunk",
+    "run_pt_chees",
     "run_pt_nuts",
     "tune_ladder",
     "run_advi",

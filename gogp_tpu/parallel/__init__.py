@@ -20,6 +20,7 @@ from gogp_tpu.parallel.sample import (
     run_mcmc_sharded,
     run_chees_sharded,
     run_nuts_sharded,
+    run_pt_chees_sharded,
     run_pt_distributed,
     run_pt_sharded,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "run_mcmc_sharded",
     "run_chees_sharded",
     "run_nuts_sharded",
+    "run_pt_chees_sharded",
     "run_pt_distributed",
     "run_pt_sharded",
     "run_smc_sharded",

@@ -296,6 +296,130 @@ def run_chees_sharded(
     return Samples(pos, lps, acc, state)
 
 
+def run_pt_chees_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    n_replicas: int = 8,
+    beta_min: float = 0.1,
+    betas: Array | None = None,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    init_traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_num_steps: int = 256,
+    traj_lr: float = 0.025,
+    free: Array | None = None,
+    adapt_ladder: bool = True,
+):
+    """PT-ChEES with the LADDERS sharded over the mesh.
+
+    Each device runs its local ladders' K-rung stacks; the cross-ladder
+    rung populations (which drive every per-rung ChEES adaptation signal)
+    span the mesh through pmeans, and the shared beta ladder adapts from
+    pmean'd pair-rejection statistics — so every device holds the identical
+    ladder and the run is device-count invariant (swaps are within-ladder
+    and therefore entirely device-local; zero communication beyond O(K)
+    adaptation scalars per sweep).
+
+    ``position0``: (n_ladders, dim) cold-start positions, n_ladders
+    divisible by the device count.  Returns
+    :class:`gogp_tpu.infer.pt_chees.PTChEESResult` with all-ladder draws
+    (num_samples, n_ladders, dim).
+    """
+    from gogp_tpu.infer.chees import finalize_chees_warmup
+    from gogp_tpu.infer.pt_chees import (
+        PTChEESResult,
+        _init_flow_ladders,
+        geometric_ladder,
+        pt_chees_init,
+        pt_chees_sample_chunk,
+        pt_chees_warm_chunk,
+    )
+
+    position0 = jnp.asarray(position0)
+    n_ladders, dim = position0.shape
+    dtype = position0.dtype
+    if betas is None:
+        betas0 = geometric_ladder(n_replicas, beta_min, dtype)
+    else:
+        betas0 = jnp.asarray(betas, dtype)
+        n_replicas = betas0.shape[0]
+    axes = (CHAIN_AXIS, DATA_AXIS)
+    n_dev = mesh.devices.size
+    if n_ladders % n_dev != 0:
+        raise ValueError(f"{n_ladders} ladders not divisible by {n_dev} devices")
+    local = n_ladders // n_dev
+    sched = adapt.build_schedule(num_warmup)
+    key, key_init = jax.random.split(jnp.asarray(rng))
+    data_size = mesh.shape[DATA_AXIS]
+
+    def device_fn(pos_local):
+        dev = jax.lax.axis_index(CHAIN_AXIS) * data_size + jax.lax.axis_index(
+            DATA_AXIS
+        )
+        offset = dev * local
+        states = pt_chees_init(
+            logp, pos_local, key_init, betas0, local,
+            init_step_size, init_traj_length, free,
+        )
+        betas_l = betas0
+        k = key
+        if num_warmup > 0:
+            states, k, betas_l = pt_chees_warm_chunk(
+                logp, states, k, betas_l,
+                sched.update_mass, sched.window_end, jnp.asarray(0),
+                max_num_steps, target_accept, traj_lr, free, adapt_ladder,
+                axes, offset, n_ladders,
+            )
+            states = jax.vmap(finalize_chees_warmup)(states)
+        flow = _init_flow_ladders(local, betas_l)
+        states, k, pos, raws, fracs, flow = pt_chees_sample_chunk(
+            logp, states, k, betas_l, num_samples, jnp.asarray(num_warmup),
+            max_num_steps, free, flow, axes, offset, n_ladders,
+        )
+        # flow pair stats are identical on every device (pmean'd at the
+        # swap); trips are per-local-ladder -> psum for the global count
+        trips = jax.lax.psum(jnp.sum(flow.trips), axes)
+        pair_rej = flow.rej_sum / jnp.maximum(flow.prop_count, 1.0)
+        return pos, raws, jnp.mean(fracs), states, betas_l, trips, pair_rej
+
+    shard = P(axes)
+    draws = P(None, axes)
+    repl = P()
+    from gogp_tpu.infer.chees import AdamState, ChEESState
+
+    state_spec = ChEESState(
+        positions=P(None, axes),
+        logps=P(None, axes),
+        grads=P(None, axes),
+        step_size=repl,
+        inv_mass=repl,
+        log_traj=repl,
+        accept_probs=P(None, axes),
+        da=adapt.DualAveragingState(repl, repl, repl, repl, repl),
+        adam=AdamState(repl, repl, repl),
+        welford=adapt.WelfordState(repl, repl, repl),
+        step=repl,
+        rng=repl,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard,),
+            out_specs=(draws, draws, repl, state_spec, repl, repl, repl),
+            check_vma=False,
+        )
+    )
+    pos, raws, frac, states, betas_f, trips, pair_rej = fn(position0)
+    return PTChEESResult(
+        pos, raws, frac, states, betas_f, trips, jnp.sum(pair_rej), pair_rej
+    )
+
+
 def run_pt_distributed(
     logp: LogDensity,
     position0: Array,

@@ -216,6 +216,54 @@ class TestDistributedPT:
         assert np.all(np.diff(betas) < 0), betas
 
 
+class TestShardedPTChEES:
+    def test_moments_8dev(self, mesh8):
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(30), (8, 2))
+        res = parallel.run_pt_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(0), mesh8,
+            n_replicas=4, beta_min=0.2, num_warmup=300, num_samples=400,
+        )
+        pos = np.asarray(res.positions)  # (400, 8, 2)
+        assert pos.shape == (400, 8, 2)
+        flat = pos.reshape(-1, 2)
+        assert np.allclose(flat.mean(axis=0), MEAN, atol=0.2)
+        assert np.allclose(np.cov(flat.T), COV, atol=0.4)
+        assert int(res.round_trips) > 0
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(31), (8, 2))
+        kwargs = dict(n_replicas=3, beta_min=0.3, num_warmup=100, num_samples=50)
+        r8 = parallel.run_pt_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh8, **kwargs
+        )
+        r1 = parallel.run_pt_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh1, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-5
+        )
+        assert np.allclose(np.asarray(r8.betas), np.asarray(r1.betas), atol=1e-6)
+        assert int(r8.round_trips) == int(r1.round_trips)
+
+    def test_matches_local_run_pt_chees(self, mesh1):
+        """1x1 mesh must reproduce infer.run_pt_chees exactly (pmean over a
+        size-1 axis is the identity; same key schedule)."""
+        from gogp_tpu import infer
+
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(32), (4, 2))
+        kwargs = dict(n_replicas=3, beta_min=0.3, num_warmup=80, num_samples=40)
+        rs = parallel.run_pt_chees_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(5), mesh1, **kwargs
+        )
+        rl = infer.run_pt_chees(
+            mvn_logp, x0, jax.random.PRNGKey(5), n_ladders=4, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(rs.positions), np.asarray(rl.positions), atol=1e-6
+        )
+        assert np.allclose(np.asarray(rs.betas), np.asarray(rl.betas), atol=1e-6)
+
+
 class TestShardedChEES:
     def test_moments_8dev(self, mesh8):
         x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(20), (16, 2))

@@ -227,11 +227,18 @@ def run_pt_chees_bench(chains: int = 16, n_replicas: int = 8, num_warmup: int = 
         return pt_chees_warm_chunk(logp, state, key, betas, um, we, t0, max_steps)
 
     t0w = time.perf_counter()
+    warm_c = warm_chunk.lower(
+        state, key, betas, sched.update_mass[:CHUNK], sched.window_end[:CHUNK],
+        jnp.asarray(0),
+    ).compile()
+    compile_s = time.perf_counter() - t0w
+
+    t0w = time.perf_counter()
     for i in range(0, num_warmup, CHUNK):
-        state, key, betas = warm_chunk(
-            state, key, betas, sched.update_mass[i : i + CHUNK],
-            sched.window_end[i : i + CHUNK], jnp.asarray(i),
-        )
+        um = sched.update_mass[i : i + CHUNK]
+        we = sched.window_end[i : i + CHUNK]
+        f = warm_c if um.shape[0] == CHUNK else warm_chunk
+        state, key, betas = f(state, key, betas, um, we, jnp.asarray(i))
     np.asarray(state.logps)  # sync through the tunnel
     warm_time = time.perf_counter() - t0w
     state = jax.jit(jax.vmap(finalize_chees_warmup))(state)
@@ -273,6 +280,7 @@ def run_pt_chees_bench(chains: int = 16, n_replicas: int = 8, num_warmup: int = 
         "min_ess": round(min_ess, 1),
         "walltime_s": round(walltime, 3),
         "warmup_s": round(warm_time, 3),
+        "warm_compile_s": round(compile_s, 3),
         "chains": chains,
         "n_replicas": n_replicas,
         "samples_per_chain": num_samples,
@@ -289,10 +297,15 @@ def run_pt_chees_bench(chains: int = 16, n_replicas: int = 8, num_warmup: int = 
 
 
 def run_chees_bench(chains: int = 64, num_warmup: int = 512, num_samples: int = 512,
-                    seed: int = 0, max_steps: int = 256):
+                    seed: int = 0, max_steps: int = 256, n_pops: int = 1):
     """ChEES-HMC: one shared adaptively-tuned trajectory for the whole chain
     population — no per-chain tree depth, so a vmapped step is pure lockstep
-    batched leapfrog (the TPU-shaped sampler; infer/chees.py)."""
+    batched leapfrog (the TPU-shaped sampler; infer/chees.py).
+
+    ``n_pops > 1`` batches that many INDEPENDENT populations of
+    chains//n_pops chains (infer.run_chees_pops): population size is an
+    adaptation-quality knob (64 is this posterior's sweet spot) while the
+    chip's throughput keeps scaling past it — pops decouple the two."""
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.chees import (
         chees_init,
@@ -302,28 +315,58 @@ def run_chees_bench(chains: int = 64, num_warmup: int = 512, num_samples: int = 
     )
 
     logp, dim = build_logp()
+    if chains % n_pops != 0:
+        raise ValueError(f"{chains} chains not divisible by {n_pops} pops")
+    per = chains // n_pops
     x0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
     )
     sched = adapt.build_schedule(num_warmup)
-    state = chees_init(logp, x0, jax.random.PRNGKey(seed), 0.1, 1.0)
+    base_key = jax.random.PRNGKey(seed)
+    if n_pops == 1:
+        state = chees_init(logp, x0, base_key, 0.1, 1.0)
+    else:
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.arange(n_pops)
+        )
+        state = jax.jit(
+            jax.vmap(lambda p, k: chees_init(logp, p, k, 0.1, 1.0))
+        )(x0.reshape(n_pops, per, dim), keys)
     jax.block_until_ready(state)
 
     @jax.jit
     def warm_chunk(state, um, we):
-        return chees_warm_chunk(logp, state, um, we, max_steps)
+        f = lambda s: chees_warm_chunk(logp, s, um, we, max_steps)
+        return jax.vmap(f)(state) if n_pops > 1 else f(state)
+
+    # AOT-compile the warm chunk so warm_time measures adaptation compute,
+    # not the (cached-across-runs) compile
+    t0 = time.perf_counter()
+    warm_c = warm_chunk.lower(
+        state, sched.update_mass[:CHUNK], sched.window_end[:CHUNK]
+    ).compile()
+    compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(0, num_warmup, CHUNK):
-        state = warm_chunk(
-            state, sched.update_mass[i : i + CHUNK], sched.window_end[i : i + CHUNK]
-        )
+        um = sched.update_mass[i : i + CHUNK]
+        we = sched.window_end[i : i + CHUNK]
+        # AOT executable requires exact shapes; ragged tail falls back to jit
+        state = warm_c(state, um, we) if um.shape[0] == CHUNK else warm_chunk(state, um, we)
     np.asarray(state.logps)  # sync (block_until_ready does not wait through the tunnel)
     warm_time = time.perf_counter() - t0
-    state = jax.jit(finalize_chees_warmup)(state)
+    fin = jax.vmap(finalize_chees_warmup) if n_pops > 1 else finalize_chees_warmup
+    state = jax.jit(fin)(state)
 
     @jax.jit
     def sample_chunk(state):
+        if n_pops > 1:
+            state, (pos, _, acc) = jax.vmap(
+                lambda s: chees_sample_chunk(logp, s, CHUNK, max_steps)
+            )(state)
+            # (P, CHUNK, per, dim) -> (P*per, CHUNK, dim), grouped by pop
+            pos = jnp.moveaxis(pos, 1, 2).reshape(chains, CHUNK, dim)
+            return state, pos, acc
         state, (pos, _, acc) = chees_sample_chunk(logp, state, CHUNK, max_steps)
         return state, jnp.swapaxes(pos, 0, 1), acc  # (chains, CHUNK, dim)
 
@@ -348,12 +391,14 @@ def run_chees_bench(chains: int = 64, num_warmup: int = 512, num_samples: int = 
         "min_ess": round(min_ess, 1),
         "walltime_s": round(walltime, 3),
         "warmup_s": round(warm_time, 3),
+        "warm_compile_s": round(compile_s, 3),
         "chains": chains,
+        "n_pops": n_pops,
         "samples_per_chain": num_samples,
         "ess_per_param": [round(float(e), 1) for e in ess_per_param],
         "accept_rate": round(float(np.mean(accs)), 3),
-        "step_size": round(float(state.step_size), 4),
-        "traj_length": round(float(np.exp(state.log_traj)), 4),
+        "step_size": [round(float(s), 4) for s in np.atleast_1d(np.asarray(state.step_size))],
+        "traj_length": [round(float(t), 4) for t in np.atleast_1d(np.exp(np.asarray(state.log_traj)))],
         "sampler": "chees-hmc",
         "platform": jax.devices()[0].platform,
     }
@@ -449,6 +494,9 @@ def main():
                     help="parallel tempering with ChEES rung populations")
     ap.add_argument("--max-steps", type=int, default=256,
                     help="with --chees: leapfrog-steps-per-transition cap")
+    ap.add_argument("--pops", type=int, default=1,
+                    help="with --chees: independent populations of "
+                    "chains/pops chains (per-population adaptation)")
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--beta-min", type=float, default=0.05)
     ap.add_argument(
@@ -500,7 +548,7 @@ def main():
                                          args.beta_min, args.max_steps, betas0)
             elif args.chees:
                 out = run_chees_bench(c, args.warmup, args.samples, args.seed,
-                                      args.max_steps)
+                                      args.max_steps, args.pops)
             else:
                 out = run(c, args.warmup, args.samples, args.seed, args.max_depth)
             out["samples_per_sec"] = round(c * args.samples / out["walltime_s"], 1)
@@ -515,7 +563,7 @@ def main():
                                  args.max_steps, betas0)
     elif args.chees:
         out = run_chees_bench(args.chains, args.warmup, args.samples, args.seed,
-                              args.max_steps)
+                              args.max_steps, args.pops)
     else:
         out = run(args.chains, args.warmup, args.samples, args.seed, args.max_depth)
     out["samples_per_sec"] = round(args.chains * args.samples / out["walltime_s"], 1)

@@ -15,6 +15,7 @@ from gogp_tpu.infer.chees import (
     chees_warm_chunk,
     finalize_chees_warmup,
     run_chees,
+    run_chees_pops,
 )
 from gogp_tpu.infer.diagnostics import ess, split_rhat
 from gogp_tpu.infer.pt_chees import (
@@ -54,6 +55,7 @@ __all__ = [
     "chees_warm_chunk",
     "finalize_chees_warmup",
     "run_chees",
+    "run_chees_pops",
     "HMCState",
     "IntegratorState",
     "OptResult",

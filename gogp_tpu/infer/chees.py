@@ -391,6 +391,86 @@ def finalize_chees_warmup(state: ChEESState) -> ChEESState:
     return state._replace(step_size=jnp.exp(state.da.log_step_avg))
 
 
+def run_chees_pops(
+    logp: LogDensity,
+    positions0: Array,
+    rng: Array,
+    n_pops: int,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    init_traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_num_steps: int = 256,
+    traj_lr: float = 0.025,
+    free: Array | None = None,
+) -> Samples:
+    """Independent replicated ChEES populations, batched on one chip.
+
+    ChEES couples chains through its shared adaptation statistics, and the
+    population size is a *quality* knob: on the hyperpriors posterior the
+    shared trajectory adapts longer (better slow-coordinate mixing) at 64
+    chains than at 256 (STATUS.md — min-ESS 396 vs 307 despite 4x the
+    draws).  Throughput, though, keeps scaling past 64.  This decouples
+    the two: split ``positions0`` (chains, dim) into ``n_pops`` populations
+    of chains//n_pops, each adapting its own step size / trajectory / mass
+    from its own cross-chain means, and batch all of them through one
+    vmapped program.  Populations share nothing — per-population rng comes
+    from ``fold_in(rng, pop_index)``, and the vmapped leapfrog while-loop
+    runs every population to the longest population's trajectory, masking
+    the extra steps out of the carry, so each population takes exactly the
+    transitions ``n_pops`` separate :func:`run_chees` calls would (tested).
+    Caveat shared with every chaotic MCMC program: batching changes XLA's
+    fusion choices, and a last-bit difference in a log-density can flip a
+    Metropolis decision and decorrelate trajectories from the unbatched
+    run — the kernel and its stationary distribution are unchanged.
+
+    Total ESS sums across populations (all chains target the same
+    posterior), so at a fixed chain budget this trades nothing away: same
+    samples/s as one big population, per-population adaptation quality.
+    It is also the zero-collective multi-chip layout — see
+    ``parallel.run_chees_pops_sharded``.
+
+    Returns Samples with positions (num_samples, chains, dim), chains
+    grouped by population.
+    """
+    positions0 = jnp.atleast_2d(jnp.asarray(positions0))
+    chains, dim = positions0.shape
+    if chains % n_pops != 0:
+        raise ValueError(f"{chains} chains not divisible by {n_pops} populations")
+    per = chains // n_pops
+    pos = positions0.reshape(n_pops, per, dim)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jnp.asarray(rng), i))(
+        jnp.arange(n_pops)
+    )
+    sched = adapt.build_schedule(num_warmup)
+
+    def one_pop(pos_p, key_p):
+        state = chees_init(
+            logp, pos_p, key_p, init_step_size, init_traj_length, free
+        )
+        if num_warmup > 0:
+            state = chees_warm_chunk(
+                logp,
+                state,
+                sched.update_mass,
+                sched.window_end,
+                max_num_steps,
+                target_accept,
+                traj_lr,
+                free,
+            )
+            state = finalize_chees_warmup(state)
+        return chees_sample_chunk(logp, state, num_samples, max_num_steps, free)
+
+    state, (positions, logps, accepts) = jax.vmap(one_pop)(pos, keys)
+    # (P, S, per, dim) -> (S, P*per, dim), chains grouped by population
+    positions = jnp.moveaxis(positions, 0, 1).reshape(num_samples, chains, dim)
+    logps = jnp.moveaxis(logps, 0, 1).reshape(num_samples, chains)
+    accepts = jnp.moveaxis(accepts, 0, 1).reshape(num_samples, chains)
+    return Samples(positions, logps, accepts, state)
+
+
 def run_chees(
     logp: LogDensity,
     positions0: Array,

@@ -18,6 +18,7 @@ from gogp_tpu.parallel.mesh import (
 from gogp_tpu.parallel.sample import (
     run_hmc_sharded,
     run_mcmc_sharded,
+    run_chees_pops_sharded,
     run_chees_sharded,
     run_nuts_sharded,
     run_pt_chees_sharded,
@@ -39,6 +40,7 @@ __all__ = [
     "run_smc_large_n",
     "run_hmc_sharded",
     "run_mcmc_sharded",
+    "run_chees_pops_sharded",
     "run_chees_sharded",
     "run_nuts_sharded",
     "run_pt_chees_sharded",

@@ -296,6 +296,128 @@ def run_chees_sharded(
     return Samples(pos, lps, acc, state)
 
 
+def run_chees_pops_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    n_pops: int,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    init_traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_num_steps: int = 256,
+    traj_lr: float = 0.025,
+    free: Array | None = None,
+) -> Samples:
+    """Independent ChEES populations sharded over the mesh — the
+    zero-collective sampler layout.
+
+    ``infer.run_chees_pops`` semantics (population size is an adaptation-
+    quality knob; populations share nothing), with the population axis
+    laid over the devices: each device runs ``n_pops // n_devices`` whole
+    populations locally, so the compiled program contains NO collectives —
+    adding chips multiplies populations at constant walltime (total ESS
+    then grows as fast as the posterior's cross-chain mixing allows — see
+    STATUS.md for the measured saturation caveat).  Per-population rng is
+    fold_in(rng, global pop index) and no cross-device reduction exists,
+    so draws match the single-device run exactly up to XLA fusion
+    differences between per-device batch sizes (device-count invariance
+    tested).
+
+    Returns Samples with positions (num_samples, chains, dim), chains
+    grouped by population.
+    """
+    from gogp_tpu.infer.chees import (
+        AdamState,
+        ChEESState,
+        chees_init,
+        chees_sample_chunk,
+        chees_warm_chunk,
+        finalize_chees_warmup,
+    )
+
+    position0 = jnp.asarray(position0)
+    n_chains, dim = position0.shape
+    axes = (CHAIN_AXIS, DATA_AXIS)
+    n_dev = mesh.devices.size
+    if n_chains % n_pops != 0:
+        raise ValueError(f"{n_chains} chains not divisible by {n_pops} populations")
+    if n_pops % n_dev != 0:
+        raise ValueError(f"{n_pops} populations not divisible by {n_dev} devices")
+    per = n_chains // n_pops
+    pops_local = n_pops // n_dev
+    sched = adapt.build_schedule(num_warmup)
+    rng = jnp.asarray(rng)
+    data_size = mesh.shape[DATA_AXIS]
+
+    def device_fn(pos_local):
+        dev = jax.lax.axis_index(CHAIN_AXIS) * data_size + jax.lax.axis_index(
+            DATA_AXIS
+        )
+        pos_pops = pos_local.reshape(pops_local, per, dim)
+        pop_ids = dev * pops_local + jnp.arange(pops_local)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(pop_ids)
+
+        def one_pop(pos_p, key_p):
+            state = chees_init(
+                logp, pos_p, key_p, init_step_size, init_traj_length, free
+            )
+            if num_warmup > 0:
+                state = chees_warm_chunk(
+                    logp,
+                    state,
+                    sched.update_mass,
+                    sched.window_end,
+                    max_num_steps,
+                    target_accept,
+                    traj_lr,
+                    free,
+                )
+                state = finalize_chees_warmup(state)
+            return chees_sample_chunk(
+                logp, state, num_samples, max_num_steps, free
+            )
+
+        state, (pos, lps, acc) = jax.vmap(one_pop)(pos_pops, keys)
+        # (P_local, S, per, ...) -> (S, P_local*per, ...)
+        pos = jnp.moveaxis(pos, 0, 1).reshape(num_samples, pops_local * per, dim)
+        lps = jnp.moveaxis(lps, 0, 1).reshape(num_samples, pops_local * per)
+        acc = jnp.moveaxis(acc, 0, 1).reshape(num_samples, pops_local * per)
+        return pos, lps, acc, state
+
+    shard = P(axes)
+    draws = P(None, axes)
+    # every state leaf carries a leading (local) population axis — even the
+    # per-population adaptation scalars are device-varying here
+    state_spec = ChEESState(
+        positions=shard,
+        logps=shard,
+        grads=shard,
+        step_size=shard,
+        inv_mass=shard,
+        log_traj=shard,
+        accept_probs=shard,
+        da=adapt.DualAveragingState(shard, shard, shard, shard, shard),
+        adam=AdamState(shard, shard, shard),
+        welford=adapt.WelfordState(shard, shard, shard),
+        step=shard,
+        rng=shard,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard,),
+            out_specs=(draws, draws, draws, state_spec),
+            check_vma=False,
+        )
+    )
+    pos, lps, acc, state = fn(position0)
+    return Samples(pos, lps, acc, state)
+
+
 def run_pt_chees_sharded(
     logp: LogDensity,
     position0: Array,

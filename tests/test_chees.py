@@ -128,6 +128,53 @@ class TestChEES:
             atol=1e-6,
         )
 
+    def test_pops_equal_separate_runs(self):
+        """run_chees_pops(n_pops=2) must reproduce two separate run_chees
+        calls with fold_in(rng, pop) keys: populations share nothing, and
+        the vmapped lockstep leapfrog (while-loop runs to the longest
+        population's trajectory, masking the rest) must not change any
+        lane's arithmetic."""
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(30), (8, 2))
+        key = jax.random.PRNGKey(8)
+        kwargs = dict(num_warmup=100, num_samples=60)
+        rp = infer.run_chees_pops(mvn_logp, x0, key, n_pops=2, **kwargs)
+        parts = [
+            infer.run_chees(
+                mvn_logp, x0[4 * i : 4 * (i + 1)], jax.random.fold_in(key, i),
+                **kwargs,
+            )
+            for i in range(2)
+        ]
+        want = np.concatenate(
+            [np.asarray(p.positions) for p in parts], axis=1
+        )
+        np.testing.assert_allclose(
+            np.asarray(rp.positions), want, rtol=1e-9, atol=1e-9
+        )
+        # per-population adaptation really is independent
+        steps = np.asarray(rp.state.step_size)
+        assert steps.shape == (2,)
+        assert steps[0] != steps[1]
+
+    def test_pops_moments(self):
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(31), (16, 2))
+        res = infer.run_chees_pops(
+            mvn_logp, x0, jax.random.PRNGKey(9), n_pops=4,
+            num_warmup=400, num_samples=600,
+        )
+        s = np.asarray(res.positions).reshape(-1, 2)
+        assert np.allclose(s.mean(axis=0), MEAN, atol=0.1)
+        assert np.allclose(np.cov(s.T), COV, atol=0.3)
+
+    def test_pops_indivisible_raises(self):
+        x0 = jnp.zeros((6, 2))
+        try:
+            infer.run_chees_pops(mvn_logp, x0, jax.random.PRNGKey(0), n_pops=4)
+        except ValueError as e:
+            assert "divisible" in str(e)
+        else:
+            raise AssertionError("expected ValueError")
+
     def test_divergent_chains_do_not_poison_adaptation(self):
         """Chains that blow up (inf endpoints) must contribute nothing to
         the trajectory/criterion statistics — regression: 0 * inf = NaN in

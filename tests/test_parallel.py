@@ -313,6 +313,40 @@ class TestShardedChEES:
             np.asarray(rs.positions), np.asarray(rl.positions), atol=1e-6
         )
 
+    def test_pops_device_count_invariance(self, mesh8, mesh1):
+        """Zero-collective layout: populations laid over devices draw what
+        the single-device run draws (per-population rng is fold_in(rng,
+        global pop index); no cross-device reduction exists to even
+        reorder floats — residual risk is only XLA fusion differences
+        between per-device batch sizes)."""
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(23), (16, 2))
+        kwargs = dict(n_pops=8, num_warmup=100, num_samples=50)
+        r8 = parallel.run_chees_pops_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(6), mesh8, **kwargs
+        )
+        r1 = parallel.run_chees_pops_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(6), mesh1, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-6
+        )
+
+    def test_pops_matches_local(self, mesh8):
+        """Sharded populations must equal infer.run_chees_pops exactly."""
+        from gogp_tpu import infer
+
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(24), (16, 2))
+        kwargs = dict(n_pops=8, num_warmup=80, num_samples=40)
+        rs = parallel.run_chees_pops_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(7), mesh8, **kwargs
+        )
+        rl = infer.run_chees_pops(mvn_logp, x0, jax.random.PRNGKey(7), **kwargs)
+        assert np.allclose(
+            np.asarray(rs.positions), np.asarray(rl.positions), atol=1e-6
+        )
+        # per-population scalars survive the shard_map boundary
+        assert np.asarray(rs.state.step_size).shape == (8,)
+
     def test_shared_mass_matrix(self, mesh8):
         def scaled_logp(v):
             return -0.5 * (v[0] ** 2 / 100.0 + v[1] ** 2 / 0.01)

@@ -85,3 +85,24 @@ def test_pt_checkpoint_resume(tmp_path):
         logp, restored_states, restored_key, betas, 10, jnp.asarray(10)
     )
     assert np.allclose(np.asarray(pos_direct), np.asarray(pos_resumed))
+
+
+def test_chees_checkpoint_resume(tmp_path):
+    """ChEESState (incl. its Adam/dual-averaging/Welford sub-states and the
+    rng) round-trips through orbax and chees_sample_chunk continues exactly
+    — the elasticity contract for the flagship sampler."""
+    from gogp_tpu.infer.chees import chees_init, chees_sample_chunk
+
+    def logp(v):
+        return -0.5 * jnp.sum(v * v)
+
+    state = chees_init(logp, jnp.zeros((4, 2)), jax.random.PRNGKey(1), 0.3, 1.0)
+    state1, _ = chees_sample_chunk(logp, state, 10)
+
+    path = tmp_path / "chees_ckpt"
+    utils.save(path, state1)
+    restored = utils.restore(path, like=state1)
+
+    _, (pos_direct, _, _) = chees_sample_chunk(logp, state1, 10)
+    _, (pos_resumed, _, _) = chees_sample_chunk(logp, restored, 10)
+    assert np.allclose(np.asarray(pos_direct), np.asarray(pos_resumed))

@@ -25,7 +25,11 @@ from gogp_tpu.parallel.sample import (
     run_pt_distributed,
     run_pt_sharded,
 )
-from gogp_tpu.parallel.large_n import make_rowsharded_logp, run_smc_large_n
+from gogp_tpu.parallel.large_n import (
+    make_rowsharded_logp,
+    run_chees_large_n,
+    run_smc_large_n,
+)
 from gogp_tpu.parallel.smc_sharded import run_smc_sharded
 
 __all__ = [
@@ -37,6 +41,7 @@ __all__ = [
     "make_mesh",
     "make_rowsharded_logp",
     "replicated",
+    "run_chees_large_n",
     "run_smc_large_n",
     "run_hmc_sharded",
     "run_mcmc_sharded",

@@ -112,6 +112,152 @@ def psum_grads(logp, axis: str = DATA_AXIS):
     return f
 
 
+def run_chees_large_n(
+    gp: GP,
+    x: Array,
+    y: Array,
+    rng: Array,
+    mesh: Mesh,
+    num_chains: int = 8,
+    num_warmup: int = 200,
+    num_samples: int = 200,
+    block: int = 256,
+    mask: Array | None = None,
+    position0: Array | None = None,
+    sigma0: float = 0.1,
+    init_step_size: float = 0.01,
+    init_traj_length: float = 0.1,
+    target_accept: float = 0.75,
+    max_num_steps: int = 64,
+    traj_lr: float = 0.025,
+):
+    """Full-posterior ChEES-HMC over log-thetas with the covariance
+    row-sharded over the data axis — Bayesian GP inference at n beyond one
+    chip's HBM.
+
+    The composition mirrors :func:`run_smc_large_n`: chains shard over the
+    non-data mesh axes (every cross-chain adaptation statistic pmeans over
+    them; per-chain randomness keys off global chain indices), and each
+    chain's log-density + gradient does distributed work over the *data*
+    axis — block-rows of K(theta) built from the local X shard, the
+    distributed blocked Cholesky/solves reducing to a replicated LML, and
+    the analytic custom VJP completing the cross-device parameter gradient
+    (:func:`psum_grads`).  Leapfrog control flow is replicated everywhere.
+
+    Returns infer.hmc.Samples with positions (num_samples, num_chains,
+    dim); ``state`` is the final rung-less ChEESState (positions sharded
+    over the chain axes, adaptation scalars replicated).
+    """
+    from gogp_tpu.infer import adapt
+    from gogp_tpu.infer.chees import (
+        AdamState,
+        ChEESState,
+        chees_init,
+        chees_sample_chunk,
+        chees_warm_chunk,
+        finalize_chees_warmup,
+    )
+    from gogp_tpu.infer.hmc import Samples
+
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    n_data = mesh.shape[DATA_AXIS]
+    if n % n_data != 0:
+        raise ValueError(f"n={n} must divide over {n_data} data-axis devices")
+    if mask is None:
+        mask = jnp.ones(n, dtype=x.dtype)
+    if position0 is None:
+        position0 = jnp.zeros(gp.n_theta, dtype=x.dtype)
+    position0 = jnp.asarray(position0)
+    dim = position0.shape[0]
+    dtype = position0.dtype
+    rng = jnp.asarray(rng)
+
+    chain_axes = tuple(
+        a for a in mesh.axis_names if a != DATA_AXIS and mesh.shape[a] > 1
+    )
+    n_chain_dev = 1
+    for a in chain_axes:
+        n_chain_dev *= mesh.shape[a]
+    if num_chains % n_chain_dev != 0:
+        raise ValueError(
+            f"{num_chains} chains not divisible over {n_chain_dev} "
+            f"chain-axis devices {chain_axes}"
+        )
+    local = num_chains // n_chain_dev
+    axis_name = chain_axes if chain_axes else None
+
+    key_init, key_loop = jax.random.split(rng)
+    sched = adapt.build_schedule(num_warmup)
+
+    def device_fn(x_local, y_local, m_local):
+        logp = psum_grads(
+            make_rowsharded_logp(
+                gp, x_local, jax.lax.all_gather(x_local, DATA_AXIS, tiled=True),
+                y_local, m_local, DATA_AXIS, block,
+            ),
+            DATA_AXIS,
+        )
+        # identical global init everywhere; keep my chain-axis slab
+        eps = jax.random.normal(key_init, (num_chains, dim), dtype)
+        pos0 = position0[None, :] + sigma0 * eps
+        if chain_axes:
+            rank = _fold_rank(chain_axes)
+            slab = jax.lax.dynamic_slice_in_dim(pos0, rank * local, local, 0)
+            offset = rank * local
+        else:
+            slab = pos0
+            offset = 0
+        state = chees_init(
+            logp, slab, key_loop, init_step_size, init_traj_length
+        )
+        if num_warmup > 0:
+            state = chees_warm_chunk(
+                logp, state, sched.update_mass, sched.window_end,
+                max_num_steps, target_accept, traj_lr, None,
+                axis_name, offset,
+            )
+            state = finalize_chees_warmup(state)
+        state, (pos, lps, acc) = chees_sample_chunk(
+            logp, state, num_samples, max_num_steps, None, axis_name, offset
+        )
+        return pos, lps, acc, state
+
+    rep = P()
+    shard = P(chain_axes) if chain_axes else rep
+    draws = P(None, chain_axes) if chain_axes else rep
+    state_spec = ChEESState(
+        positions=shard,
+        logps=shard,
+        grads=shard,
+        step_size=rep,
+        inv_mass=rep,
+        log_traj=rep,
+        accept_probs=shard,
+        da=jax.tree.map(lambda _: rep, adapt.da_init(0.1)),
+        adam=AdamState(rep, rep, rep),
+        welford=jax.tree.map(
+            lambda _: rep, adapt.welford_init(dim, dtype)
+        ),
+        step=rep,
+        rng=rep,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(draws, draws, draws, state_spec),
+            check_vma=False,
+        )
+    )
+    pos, lps, acc, state = fn(x, y, mask)
+    return Samples(pos, lps, acc, state)
+
+
 def run_smc_large_n(
     gp: GP,
     x: Array,

@@ -109,6 +109,59 @@ class TestLargeNSMC:
             assert np.allclose(results[0].mean(axis=0), r.mean(axis=0), atol=5e-2)
             assert np.allclose(results[0].std(axis=0), r.std(axis=0), atol=5e-2)
 
+    def test_chees_large_n_matches_dense_chees(self, problem):
+        """Full-posterior ChEES with the covariance row-sharded (2 chain x
+        4 data mesh) must sample the same posterior as dense single-program
+        ChEES on the same logp, within Monte-Carlo error."""
+        gp, x, y = problem
+        mesh = parallel.make_mesh(n_chain=2, n_data=4)
+        res = parallel.run_chees_large_n(
+            gp, x, y, jax.random.PRNGKey(0), mesh,
+            num_chains=8, num_warmup=200, num_samples=300, block=8,
+            sigma0=0.5, init_step_size=0.05, init_traj_length=0.5,
+        )
+        pos = np.asarray(res.positions)  # (300, 8, 3)
+        assert pos.shape == (300, 8, 3)
+        assert np.all(np.isfinite(pos))
+        assert float(np.mean(np.asarray(res.accept_probs))) > 0.4
+
+        mask = jnp.ones(x.shape[0])
+
+        def dense_logp(v):
+            return gp_observe(gp, v, x=x, y=y, mask=mask)
+
+        dense = infer.run_chees(
+            dense_logp,
+            0.5 * jax.random.normal(jax.random.PRNGKey(5), (8, 3)),
+            jax.random.PRNGKey(1), num_warmup=200, num_samples=300,
+            init_step_size=0.05, init_traj_length=0.5,
+        )
+        dp = np.asarray(dense.positions).reshape(-1, 3)
+        sp = pos.reshape(-1, 3)
+        assert np.allclose(sp.mean(axis=0), dp.mean(axis=0), atol=0.3), (
+            sp.mean(axis=0), dp.mean(axis=0),
+        )
+        assert np.allclose(sp.std(axis=0), dp.std(axis=0), atol=0.3)
+
+    def test_chees_large_n_mesh_invariance(self, problem):
+        """1x8 / 2x4 / 4x2 meshes agree on the sampled posterior moments
+        (global-chain-index randomness; data-axis psums reassociate)."""
+        gp, x, y = problem
+        results = []
+        for c, d in [(1, 8), (2, 4), (4, 2)]:
+            mesh = parallel.make_mesh(n_chain=c, n_data=d)
+            res = parallel.run_chees_large_n(
+                gp, x, y, jax.random.PRNGKey(0), mesh,
+                num_chains=8, num_warmup=150, num_samples=200, block=8,
+                sigma0=0.5, init_step_size=0.05, init_traj_length=0.5,
+            )
+            pos = np.asarray(res.positions).reshape(-1, 3)
+            assert np.all(np.isfinite(pos)), (c, d)
+            results.append(pos)
+        for r in results[1:]:
+            assert np.allclose(results[0].mean(axis=0), r.mean(axis=0), atol=0.25)
+            assert np.allclose(results[0].std(axis=0), r.std(axis=0), atol=0.25)
+
     def test_posterior_moments_match_serial(self, mesh, problem):
         gp, x, y = problem
         res = parallel.run_smc_large_n(

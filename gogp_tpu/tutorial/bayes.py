@@ -84,20 +84,27 @@ def build_logjoint(study, x: np.ndarray, y: np.ndarray):
 
 
 def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
-                     num_warmup: int, chains: int):
+                     num_warmup: int, chains: int, pops: int = 1):
     key = jax.random.PRNGKey(seed)
     if engine == "chees":
         # population sampler: the chain axis lives inside the state (shared
-        # adaptive trajectory), so no vmap — one call owns all chains
+        # adaptive trajectory), so no vmap — one call owns all chains;
+        # pops > 1 splits them into independent populations, each adapting
+        # its own kernel (infer.run_chees_pops)
         x0 = v0[None, :] + 0.1 * jax.random.normal(
             jax.random.PRNGKey(seed + 1), (chains, v0.shape[0])
         ) * free[None, :]
-        res = jax.jit(
-            lambda q, k: infer.run_chees(
+        if pops > 1:
+            run = lambda q, k: infer.run_chees_pops(
+                logp, q, k, n_pops=pops, num_warmup=num_warmup,
+                num_samples=max(1, num_samples // chains), free=free,
+            )
+        else:
+            run = lambda q, k: infer.run_chees(
                 logp, q, k, num_warmup=num_warmup,
                 num_samples=max(1, num_samples // chains), free=free,
             )
-        )(x0, key)
+        res = jax.jit(run)(x0, key)
         draws = np.asarray(res.positions).reshape(-1, v0.shape[0])
     elif engine in ("nuts", "hmc"):
         runner = infer.run_nuts if engine == "nuts" else infer.run_hmc
@@ -158,6 +165,9 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--warmup", type=int, default=400)
     ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--pops", type=int, default=1,
+                    help="with --engine chees: independent populations of "
+                    "chains/pops chains, each adapting its own kernel")
     ap.add_argument("-n", action="store_true", help="do not normalize outputs")
     ap.add_argument("--grid", type=int, default=50, help="forecast grid points")
     ap.add_argument("mode", nargs="?", default=None, help="'selfcheck' for embedded data")
@@ -177,7 +187,8 @@ def main(argv=None):
     logp, posterior_of, v0, free = build_logjoint(study, x, y_norm)
     tio.progress(f"sampling ({args.engine})...")
     draws = sample_posterior(
-        logp, v0, free, args.engine, args.seed, args.samples, args.warmup, args.chains
+        logp, v0, free, args.engine, args.seed, args.samples, args.warmup,
+        args.chains, args.pops
     )
     tio.progress("forecasting...")
     lo, hi = x[:, 0].min(), x[:, 0].max()

@@ -4,6 +4,7 @@ from gogp_tpu.gp.core import (  # noqa: F401
     absorb,
     lml,
     lml_from_posterior,
+    lml_iterative,
     predict,
     predict_from_posterior,
     predict_mixture,

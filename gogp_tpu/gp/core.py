@@ -184,6 +184,45 @@ def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Array:
     return -0.5 * n_eff * _LOG_2PI + linalg.lml_core(K, y)
 
 
+def lml_iterative(
+    gp: GP,
+    theta_simil,
+    theta_noise,
+    x,
+    y,
+    key,
+    mask=None,
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
+) -> Array:
+    """Matrix-free LML: the :func:`lml` protocol routed through CG solves
+    and stochastic-Lanczos-quadrature logdet instead of a factorization
+    (ops/iterative — O(n^2) per CG step, ~0.5% value error and 1-3%
+    theta-gradient error at default probe counts; see its module
+    docstring for the estimator contract).  For the very-large-n regime
+    where the O(n^3) exact path or its compile cost dominates.  Padded
+    rows are identity rows in K and zeros in y, exactly as for the exact
+    core, so only the 2pi constant needs the mask count.
+    """
+    from gogp_tpu.ops.iterative import lml_core_iterative
+
+    x, y = _as_xy(gp, x, y)
+    n = x.shape[0]
+    theta_simil = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    theta_noise = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    if mask is None:
+        mask = jnp.ones((n,), dtype=x.dtype)
+    else:
+        mask = jnp.asarray(mask, dtype=x.dtype)
+    y = y * mask
+    K = masked_cov(gp, theta_simil, theta_noise, x, mask)
+    n_eff = jnp.sum(mask)
+    return -0.5 * n_eff * _LOG_2PI + lml_core_iterative(
+        K, y, key, num_probes, cg_iters, lanczos_iters
+    )
+
+
 def predict_from_posterior(gp: GP, post: Posterior, z) -> tuple[Array, Array]:
     """Posterior mean and std at test inputs ``z`` — reference ``Produce``
     (gp/gp.go:258-360), with its exact semantics:

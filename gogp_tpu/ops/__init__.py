@@ -1,1 +1,1 @@
-from gogp_tpu.ops import distributed, linalg  # noqa: F401
+from gogp_tpu.ops import distributed, iterative, linalg  # noqa: F401

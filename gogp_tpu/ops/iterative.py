@@ -1,0 +1,243 @@
+"""Matrix-free iterative GP inference: CG solves + stochastic Lanczos
+quadrature log-determinants + Hutchinson-trace gradients.
+
+The exact path (ops/linalg.lml_core -> blocked Pallas Cholesky) is O(n^3)
+and materializes the factor; this module is the O(n^2)-per-iteration
+alternative in the GPyTorch/BBMM family (Gardner et al. 2018; the
+determinant-free fully-Bayesian framework of arXiv 2412.20884): everything
+is batched covariance matvecs, which on TPU are pure bandwidth-bound MXU
+work, and a block of probe vectors rides each matvec for free (the n x n
+HBM traffic dominates; extra right-hand sides are nearly free).  At n
+where the dense factorization's n^3 (or its Mosaic compile) hurts, ~30
+preconditioner-free CG iterations of n^2 each win; it also composes with
+row sharding — the matvec's rows split over the data axis and one psum
+completes each product (the far simpler distributed story than a blocked
+factorization).
+
+Replaces (approximately) the same gonum calls as ops/linalg: Factorize /
+SolveVecTo / LogDet (reference gp/gp.go:228-250) — with a controlled,
+key-deterministic estimator for the logdet instead of an exact one.
+
+Estimator contract (tested): given a fixed PRNG key the forward value is
+a deterministic function with ~0.5% relative error at 32 probes x 48
+Lanczos steps.  ``jax.grad`` through it is NOT the derivative of that
+estimator: the custom VJP substitutes the Hutchinson estimate of
+tr(K^-1 dK) (reusing the CG probe solves), i.e. an independent stochastic
+estimator of the EXACT gradient — element-wise Kbar noise is ~10% but the
+theta-gradient (Kbar contracted against smooth dK) lands within 1-3% of
+the exact gradient at 8-128 probes, the BBMM operating regime.  The
+y-gradient is exact (-g alpha).
+
+The backward pass (custom VJP) uses the analytic identities
+    d lml = 1/2 a^T dK a - 1/2 tr(K^-1 dK),        a = K^-1 y,
+with tr(K^-1 dK) ~= (1/p) sum_j s_j^T dK z_j,      s_j = K^-1 z_j,
+i.e.  Kbar = g/2 (a a^T - (1/2p)(Z S^T + S Z^T)),  ybar = -g a  —
+the probe solves S are computed in the SAME batched CG as a, so the
+gradient costs no extra solves (GPML eq. 5.9 with a stochastic trace).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_LOG_2PI = 1.8378770664093453
+
+
+def cg_solve(
+    A: Array,
+    B: Array,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+) -> tuple[Array, Array]:
+    """Batched conjugate gradients for SPD ``A``: solve A X = B.
+
+    ``B``: (n, k) — all right-hand sides share each A matvec (the point of
+    the method on TPU: the matvec streams A once from HBM regardless of k).
+    Runs until every column's relative residual is below ``tol`` or
+    ``max_iters``; converged columns freeze (alpha forced to 0) so extra
+    iterations cannot reintroduce error.  Returns (X, iters_used).
+    """
+    B = jnp.asarray(B)
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    bnorm2 = jnp.sum(B * B, axis=0)
+    stop2 = (tol * tol) * jnp.maximum(bnorm2, 1e-30)
+
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    P0 = B
+    rs0 = jnp.sum(R0 * R0, axis=0)
+
+    def cond(carry):
+        _, _, _, rs, it = carry
+        return (it < max_iters) & jnp.any(rs > stop2)
+
+    def body(carry):
+        X, R, P, rs, it = carry
+        AP = A @ P
+        denom = jnp.sum(P * AP, axis=0)
+        active = rs > stop2
+        alpha = jnp.where(active, rs / jnp.maximum(denom, 1e-30), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        P = R + beta[None, :] * P
+        return X, R, P, rs_new, it + 1
+
+    X, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (X0, R0, P0, rs0, jnp.asarray(0, jnp.int32))
+    )
+    return (X[:, 0] if squeeze else X), iters
+
+
+def _lanczos(A: Array, z: Array, num_steps: int) -> tuple[Array, Array]:
+    """``num_steps`` of Lanczos on SPD A from start vector z (normalized
+    inside), with full reorthogonalization (m is small; stability first).
+
+    Returns (alphas (m,), betas (m-1,)) of the tridiagonal T.
+    """
+    n = z.shape[0]
+    m = num_steps
+    q = z / jnp.linalg.norm(z)
+    Q = jnp.zeros((m, n), z.dtype).at[0].set(q)
+    alphas = jnp.zeros((m,), z.dtype)
+    betas = jnp.zeros((m - 1,), z.dtype)
+
+    def step(i, carry):
+        Q, alphas, betas = carry
+        q = Q[i]
+        w = A @ q
+        alpha = jnp.dot(q, w)
+        w = w - alpha * q - jnp.where(
+            i > 0, betas[jnp.maximum(i - 1, 0)] * Q[jnp.maximum(i - 1, 0)], 0.0
+        )
+        # full reorthogonalization against the Krylov basis built so far
+        # (rows past i are zero, so the masked projection is exact)
+        proj = Q @ w  # (m,)
+        row_ids = jnp.arange(m)
+        proj = jnp.where(row_ids <= i, proj, 0.0)
+        w = w - Q.T @ proj
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, 1e-30)
+        Q = jax.lax.cond(
+            i + 1 < m, lambda Q: Q.at[i + 1].set(q_next), lambda Q: Q, Q
+        )
+        alphas = alphas.at[i].set(alpha)
+        betas = jax.lax.cond(
+            i + 1 < m, lambda b: b.at[i].set(beta), lambda b: b, betas
+        )
+        return Q, alphas, betas
+
+    Q, alphas, betas = jax.lax.fori_loop(0, m, step, (Q, alphas, betas))
+    return alphas, betas
+
+
+def rademacher(key: Array, shape, dtype) -> Array:
+    return jnp.where(jax.random.bernoulli(key, 0.5, shape), 1.0, -1.0).astype(
+        dtype
+    )
+
+
+def slq_logdet(
+    A: Array,
+    probes: Array,
+    num_steps: int = 32,
+) -> Array:
+    """Stochastic Lanczos quadrature estimate of log|A| for SPD A.
+
+    ``probes``: (p, n) Rademacher vectors (see :func:`rademacher`); for
+    each, m Lanczos steps give a tridiagonal T_j whose eigenpairs (theta,
+    tau = first component of eigenvectors) form the Gauss quadrature
+    e1^T log(T) e1 = sum tau^2 log(theta); logdet ~= (n/p) * sum_j of that
+    (||z_j||^2 = n exactly for Rademacher).  Deterministic given probes.
+    """
+    n = A.shape[-1]
+    Z = probes
+
+    def one(z):
+        alphas, betas = _lanczos(A, z, num_steps)
+        T = (
+            jnp.diag(alphas)
+            + jnp.diag(betas, 1)
+            + jnp.diag(betas, -1)
+        )
+        theta, V = jnp.linalg.eigh(T)
+        tau2 = V[0, :] ** 2
+        # clip guards tiny negative Ritz values from float error; the
+        # quadrature weight tau^2 of such a value is O(eps) anyway
+        return jnp.sum(tau2 * jnp.log(jnp.maximum(theta, 1e-30)))
+
+    quads = jax.vmap(one)(Z)
+    return jnp.asarray(n, A.dtype) * jnp.mean(quads)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _lml_core_iterative(
+    K: Array,
+    y: Array,
+    probes_slq: Array,  # (p, n) for the logdet quadrature
+    probes_tr: Array,  # (n, p) for the Hutchinson trace in the backward
+    cg_iters: int,
+    lanczos_iters: int,
+) -> Array:
+    alpha, _ = cg_solve(K, y, cg_iters)
+    logdet = slq_logdet(K, probes_slq, lanczos_iters)
+    return -0.5 * (logdet + jnp.dot(y, alpha))
+
+
+def _lml_iter_fwd(K, y, probes_slq, probes_tr, cg_iters, lanczos_iters):
+    # one batched CG solves y and all trace probes together: K streams
+    # from HBM once per iteration for the whole block
+    X, _ = cg_solve(K, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+    alpha, S = X[:, 0], X[:, 1:]
+    logdet = slq_logdet(K, probes_slq, lanczos_iters)
+    value = -0.5 * (logdet + jnp.dot(y, alpha))
+    return value, (alpha, probes_tr, S)
+
+
+def _lml_iter_bwd(cg_iters, lanczos_iters, res, g):
+    alpha, Z, S = res
+    p = Z.shape[1]
+    # tr(K^-1 dK) ~= tr(dK (1/2p)(Z S^T + S Z^T)); dK is symmetric so the
+    # symmetrization is exact in expectation and halves the variance
+    trace_est = (Z @ S.T + S @ Z.T) / (2.0 * p)
+    Kbar = (0.5 * g) * (jnp.outer(alpha, alpha) - trace_est)
+    ybar = -g * alpha
+    # probes are constants of the estimator: zero cotangents
+    zbar_slq = jnp.zeros((p, Z.shape[0]), Z.dtype)
+    return Kbar, ybar, zbar_slq, jnp.zeros_like(Z)
+
+
+_lml_core_iterative.defvjp(_lml_iter_fwd, _lml_iter_bwd)
+
+
+def lml_core_iterative(
+    K: Array,
+    y: Array,
+    key: Array,
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
+) -> Array:
+    """-1/2 (log|K| + y^T K^-1 y) without factorizing K.
+
+    The iterative counterpart of ops/linalg.lml_core: CG for the solve,
+    SLQ for the logdet, and a custom VJP whose stochastic trace term
+    reuses the probe solves — see the module docstring for the exact
+    value/gradient estimator contract.  The (n/2)log2pi constant lives in
+    the GP layer, as for lml_core.
+    """
+    n = K.shape[-1]
+    k1, k2 = jax.random.split(jnp.asarray(key))
+    probes_slq = rademacher(k1, (num_probes, n), K.dtype)
+    probes_tr = rademacher(k2, (n, num_probes), K.dtype)
+    return _lml_core_iterative(
+        K, y, probes_slq, probes_tr, cg_iters, lanczos_iters
+    )

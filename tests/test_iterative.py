@@ -1,0 +1,131 @@
+"""Matrix-free iterative inference (ops/iterative): CG, SLQ logdet, and
+the stochastic-gradient LML core vs the exact Cholesky oracle.
+
+The estimator contract under test (module docstring of ops/iterative):
+fixed key -> deterministic value within ~1% of the exact lml; the custom
+VJP is an independent estimator of the EXACT gradient — y-gradient exact,
+theta-gradient within a few percent after contraction against smooth dK.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gogp_tpu.gp.core import GP, lml, lml_iterative, masked_cov
+from gogp_tpu.kernels import rbf, uniform_noise
+from gogp_tpu.ops.iterative import (
+    cg_solve,
+    lml_core_iterative,
+    rademacher,
+    slq_logdet,
+)
+
+
+def make_spd(n, seed=0, shift=0.5):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n))
+    return jnp.asarray(a @ a.T / n + shift * np.eye(n))
+
+
+class TestCG:
+    def test_matches_direct_solve(self):
+        K = make_spd(128)
+        y = jnp.asarray(np.random.default_rng(1).normal(size=128))
+        x, iters = cg_solve(K, y, max_iters=400, tol=1e-12)
+        assert float(jnp.linalg.norm(K @ x - y) / jnp.linalg.norm(y)) < 1e-8
+        assert int(iters) < 400  # converged by tolerance, not budget
+
+    def test_batched_rhs(self):
+        K = make_spd(96, seed=2)
+        B = jnp.asarray(np.random.default_rng(3).normal(size=(96, 5)))
+        X, _ = cg_solve(K, B, max_iters=300, tol=1e-12)
+        direct = jnp.linalg.solve(K, B)
+        np.testing.assert_allclose(np.asarray(X), np.asarray(direct), atol=1e-7)
+
+    def test_jit(self):
+        K = make_spd(64, seed=4)
+        y = jnp.ones(64)
+        a, _ = cg_solve(K, y, 200, 1e-10)
+        b, _ = jax.jit(lambda K, y: cg_solve(K, y, 200, 1e-10))(K, y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+class TestSLQ:
+    def test_logdet_within_statistical_error(self):
+        K = make_spd(192, seed=5)
+        exact = 2.0 * jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(K))))
+        probes = rademacher(jax.random.PRNGKey(0), (64, 192), K.dtype)
+        est = slq_logdet(K, probes, num_steps=48)
+        assert abs(float(est - exact)) / abs(float(exact)) < 0.02, (
+            float(est), float(exact),
+        )
+
+
+class TestIterativeLML:
+    def setup_method(self):
+        self.gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(0)
+        n = 256
+        self.x = jnp.asarray(np.sort(rng.uniform(0, 10, (n, 1)), axis=0))
+        self.y = jnp.asarray(
+            np.sin(np.asarray(self.x[:, 0])) + 0.1 * rng.normal(size=n)
+        )
+        self.v = jnp.asarray([0.3, -0.2, -1.5])
+
+    def _exact(self, v):
+        th = jnp.exp(v)
+        return lml(self.gp, th[:2], th[2:], self.x, self.y)
+
+    def _iter(self, v, probes=32):
+        th = jnp.exp(v)
+        return lml_iterative(
+            self.gp, th[:2], th[2:], self.x, self.y,
+            jax.random.PRNGKey(7), num_probes=probes,
+            cg_iters=300, lanczos_iters=48,
+        )
+
+    def test_value_converges_with_probes(self):
+        # Hutchinson variance dominates (error ~ 1/sqrt(p)); measured on
+        # this problem: 64 probes -> 4.5%, 128 -> 1.9%, 256 -> 0.6%.  Pin
+        # the convergence and the 256-probe operating bound.
+        ve = float(self._exact(self.v))
+        e64 = abs(float(self._iter(self.v, probes=64)) - ve) / abs(ve)
+        e256 = abs(float(self._iter(self.v, probes=256)) - ve) / abs(ve)
+        assert e256 < 0.015, e256
+        assert e256 < e64
+
+    def test_theta_gradient_within_percents(self):
+        ge = np.asarray(jax.grad(self._exact)(self.v))
+        gi = np.asarray(jax.grad(lambda v: self._iter(v, 64))(self.v))
+        rel = np.abs(gi - ge).max() / np.abs(ge).max()
+        assert rel < 0.05, (gi, ge, rel)
+
+    def test_y_gradient_exact(self):
+        K = make_spd(96, seed=8)
+        y = jnp.asarray(np.random.default_rng(9).normal(size=96))
+        f = lambda yv: lml_core_iterative(
+            K, yv, jax.random.PRNGKey(1), 16, 300, 32
+        )
+        gy = jax.grad(f)(y)
+        alpha = jnp.linalg.solve(K, y)
+        np.testing.assert_allclose(np.asarray(gy), -np.asarray(alpha), atol=1e-5)
+
+    def test_deterministic_given_key(self):
+        a = float(self._iter(self.v))
+        b = float(jax.jit(self._iter)(self.v))
+        assert abs(a - b) < 1e-8 * abs(a)
+
+    def test_masked_rows_ignored(self):
+        """Padding contract: identity rows in K / zeros in y contribute
+        nothing, matching the exact core's masking semantics."""
+        th = jnp.exp(self.v)
+        n = self.x.shape[0]
+        mask = jnp.ones(n).at[-32:].set(0.0)
+        full = lml_iterative(
+            self.gp, th[:2], th[2:], self.x, self.y, jax.random.PRNGKey(3),
+            num_probes=48, cg_iters=300, lanczos_iters=48, mask=mask,
+        )
+        exact_masked = lml(
+            self.gp, th[:2], th[2:], self.x, self.y, mask=mask
+        )
+        assert abs(float(full - exact_masked)) / abs(float(exact_masked)) < 0.01

@@ -48,20 +48,29 @@ Array = jax.Array
 _LOG_2PI = 1.8378770664093453
 
 
+def _as_matvec(A):
+    """Accept an (n, n) array or a callable (n, k) -> (n, k) matvec —
+    the callable form is how row-sharded/distributed operators plug in
+    (each device computes its block-rows' product and all_gathers)."""
+    return A if callable(A) else (lambda V: A @ V)
+
+
 def cg_solve(
-    A: Array,
+    A,
     B: Array,
     max_iters: int = 100,
     tol: float = 1e-6,
 ) -> tuple[Array, Array]:
     """Batched conjugate gradients for SPD ``A``: solve A X = B.
 
+    ``A``: (n, n) array or callable batched matvec (see :func:`_as_matvec`).
     ``B``: (n, k) — all right-hand sides share each A matvec (the point of
     the method on TPU: the matvec streams A once from HBM regardless of k).
     Runs until every column's relative residual is below ``tol`` or
     ``max_iters``; converged columns freeze (alpha forced to 0) so extra
     iterations cannot reintroduce error.  Returns (X, iters_used).
     """
+    mv = _as_matvec(A)
     B = jnp.asarray(B)
     squeeze = B.ndim == 1
     if squeeze:
@@ -80,7 +89,7 @@ def cg_solve(
 
     def body(carry):
         X, R, P, rs, it = carry
-        AP = A @ P
+        AP = mv(P)
         denom = jnp.sum(P * AP, axis=0)
         active = rs > stop2
         alpha = jnp.where(active, rs / jnp.maximum(denom, 1e-30), 0.0)
@@ -97,12 +106,14 @@ def cg_solve(
     return (X[:, 0] if squeeze else X), iters
 
 
-def _lanczos(A: Array, z: Array, num_steps: int) -> tuple[Array, Array]:
-    """``num_steps`` of Lanczos on SPD A from start vector z (normalized
-    inside), with full reorthogonalization (m is small; stability first).
+def _lanczos(A, z: Array, num_steps: int) -> tuple[Array, Array]:
+    """``num_steps`` of Lanczos on SPD A (array or callable matvec) from
+    start vector z (normalized inside), with full reorthogonalization
+    (m is small; stability first).
 
     Returns (alphas (m,), betas (m-1,)) of the tridiagonal T.
     """
+    mv = _as_matvec(A)
     n = z.shape[0]
     m = num_steps
     q = z / jnp.linalg.norm(z)
@@ -113,7 +124,7 @@ def _lanczos(A: Array, z: Array, num_steps: int) -> tuple[Array, Array]:
     def step(i, carry):
         Q, alphas, betas = carry
         q = Q[i]
-        w = A @ q
+        w = mv(q[:, None])[:, 0]
         alpha = jnp.dot(q, w)
         w = w - alpha * q - jnp.where(
             i > 0, betas[jnp.maximum(i - 1, 0)] * Q[jnp.maximum(i - 1, 0)], 0.0
@@ -146,11 +157,12 @@ def rademacher(key: Array, shape, dtype) -> Array:
 
 
 def slq_logdet(
-    A: Array,
+    A,
     probes: Array,
     num_steps: int = 32,
 ) -> Array:
-    """Stochastic Lanczos quadrature estimate of log|A| for SPD A.
+    """Stochastic Lanczos quadrature estimate of log|A| for SPD A
+    ((n, n) array or callable batched matvec).
 
     ``probes``: (p, n) Rademacher vectors (see :func:`rademacher`); for
     each, m Lanczos steps give a tridiagonal T_j whose eigenpairs (theta,
@@ -158,7 +170,7 @@ def slq_logdet(
     e1^T log(T) e1 = sum tau^2 log(theta); logdet ~= (n/p) * sum_j of that
     (||z_j||^2 = n exactly for Rademacher).  Deterministic given probes.
     """
-    n = A.shape[-1]
+    n = probes.shape[-1]
     Z = probes
 
     def one(z):
@@ -175,7 +187,7 @@ def slq_logdet(
         return jnp.sum(tau2 * jnp.log(jnp.maximum(theta, 1e-30)))
 
     quads = jax.vmap(one)(Z)
-    return jnp.asarray(n, A.dtype) * jnp.mean(quads)
+    return jnp.asarray(n, Z.dtype) * jnp.mean(quads)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -240,4 +252,102 @@ def lml_core_iterative(
     probes_tr = rademacher(k2, (n, num_probes), K.dtype)
     return _lml_core_iterative(
         K, y, probes_slq, probes_tr, cg_iters, lanczos_iters
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded form: the distributed story of the iterative path.
+#
+# Where the blocked distributed Cholesky (ops/distributed.py) needs a
+# pipelined panel factorization with per-step tile broadcasts, the iterative
+# path distributes through ONE primitive: the covariance matvec.  Each
+# device holds its block-rows K_rows (n_local, n) — ordered by
+# lax.axis_index, the ops/distributed convention — computes its shard of
+# each product, and one tiled all_gather (n x k floats) replicates the
+# result for the next recurrence.  CG/Lanczos control flow is replicated.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _lml_core_iter_rows(
+    K_rows: Array,
+    y: Array,
+    probes_slq: Array,
+    probes_tr: Array,
+    axis: str,
+    cg_iters: int,
+    lanczos_iters: int,
+) -> Array:
+    def mv(V):
+        return jax.lax.all_gather(K_rows @ V, axis, tiled=True)
+
+    alpha, _ = cg_solve(mv, y, cg_iters)
+    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    return -0.5 * (logdet + jnp.dot(y, alpha))
+
+
+def _lml_rows_fwd(K_rows, y, probes_slq, probes_tr, axis, cg_iters, lanczos_iters):
+    def mv(V):
+        return jax.lax.all_gather(K_rows @ V, axis, tiled=True)
+
+    X, _ = cg_solve(mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+    alpha, S = X[:, 0], X[:, 1:]
+    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    value = -0.5 * (logdet + jnp.dot(y, alpha))
+    return value, (alpha, probes_tr, S)
+
+
+def _lml_rows_bwd(axis, cg_iters, lanczos_iters, res, g):
+    alpha, Z, S = res
+    p = Z.shape[1]
+    n_local = None  # resolved from the cotangent row count below
+
+    # this device's row block of the (replicated) estimator matrices: the
+    # cotangent K_rows-bar has shape (n_local, n), so slice alpha/Z/S rows
+    # at the device's offset — lax.axis_index is available because the
+    # backward runs inside the same shard_map region as the forward
+    def rows_of(v, n_local):
+        row0 = jax.lax.axis_index(axis) * n_local
+        return jax.lax.dynamic_slice_in_dim(v, row0, n_local, 0)
+
+    n = alpha.shape[0]
+    n_local = n // jax.lax.axis_size(axis)
+    a_rows = rows_of(alpha, n_local)
+    Z_rows = rows_of(Z, n_local)
+    S_rows = rows_of(S, n_local)
+    trace_rows = (Z_rows @ S.T + S_rows @ Z.T) / (2.0 * p)
+    Kbar_rows = (0.5 * g) * (jnp.outer(a_rows, alpha) - trace_rows)
+    ybar = -g * alpha
+    zbar_slq = jnp.zeros((p, n), Z.dtype)
+    return Kbar_rows, ybar, zbar_slq, jnp.zeros_like(Z)
+
+
+_lml_core_iter_rows.defvjp(_lml_rows_fwd, _lml_rows_bwd)
+
+
+def lml_rowsharded_iterative(
+    K_rows: Array,
+    y: Array,
+    key: Array,
+    axis: str,
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
+) -> Array:
+    """Row-sharded matrix-free LML core: ``K_rows`` (n_local, n) is this
+    device's block of the covariance (axis-index row order), ``y`` the
+    replicated full observation vector; returns the replicated estimate of
+    -1/2 (log|K| + y^T K^-1 y).  Same estimator contract as
+    :func:`lml_core_iterative` — identical probes (same key on every
+    device) make the sharded value match the dense one up to float
+    reassociation of the gathered matvecs.  The backward yields this
+    device's rows of Kbar; pair with parallel.large_n.psum_grads for the
+    complete theta gradient.
+    """
+    n = y.shape[0]
+    k1, k2 = jax.random.split(jnp.asarray(key))
+    probes_slq = rademacher(k1, (num_probes, n), K_rows.dtype)
+    probes_tr = rademacher(k2, (n, num_probes), K_rows.dtype)
+    return _lml_core_iter_rows(
+        K_rows, y, probes_slq, probes_tr, axis, cg_iters, lanczos_iters
     )

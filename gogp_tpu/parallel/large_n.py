@@ -38,13 +38,21 @@ from gogp_tpu.parallel.smc_sharded import _fold_rank, smc_loop
 Array = jax.Array
 
 
-def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str, block: int):
+def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str, block: int,
+                         method: str = "exact", key=None, num_probes: int = 16,
+                         cg_iters: int = 100, lanczos_iters: int = 32):
     """Per-device closure: v (log-thetas, replicated) -> replicated LML.
 
     Builds this device's block-rows of K(theta) from its X shard (reference
     covariance semantics, gp/gp.go:106-156: noise + mask on the diagonal
-    only) and runs the distributed factorization.
+    only) and runs the distributed factorization — or, with
+    ``method="iterative"``, the matrix-free CG/SLQ estimator
+    (ops.iterative.lml_rowsharded_iterative: the whole distribution
+    reduces to one all_gather per covariance matvec; ``key`` seeds the
+    probes identically on every device).
     """
+    if method == "iterative" and key is None:
+        raise ValueError("method='iterative' needs a probe `key`")
     n_local = x_local.shape[0]
     n = x_full.shape[0]
 
@@ -65,6 +73,15 @@ def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str
         rows = rows * (m_local[:, None] * m_full[None, :])
         rows = jnp.where(eye, rows + (1.0 - m_local[:, None]), rows)
         yv = y_local * m_local
+        if method == "iterative":
+            from gogp_tpu.ops.iterative import lml_rowsharded_iterative
+
+            y_full = jax.lax.all_gather(yv, axis, tiled=True)
+            core = lml_rowsharded_iterative(
+                rows, y_full, key, axis, num_probes, cg_iters, lanczos_iters
+            )
+            n_eff = jax.lax.psum(jnp.sum(m_local), axis)
+            return core - 0.5 * n_eff * jnp.log(2.0 * jnp.pi)
         lml = lml_rowsharded(rows, yv, axis, block)
         # correct the constant term for padding: lml_rowsharded used full n
         n_pad = jnp.asarray(n, rows.dtype) - jax.lax.psum(jnp.sum(m_local), axis)

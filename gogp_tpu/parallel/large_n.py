@@ -147,6 +147,10 @@ def run_chees_large_n(
     target_accept: float = 0.75,
     max_num_steps: int = 64,
     traj_lr: float = 0.025,
+    method: str = "exact",
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
 ):
     """Full-posterior ChEES-HMC over log-thetas with the covariance
     row-sharded over the data axis — Bayesian GP inference at n beyond one
@@ -164,6 +168,11 @@ def run_chees_large_n(
     Returns infer.hmc.Samples with positions (num_samples, num_chains,
     dim); ``state`` is the final rung-less ChEESState (positions sharded
     over the chain axes, adaptation scalars replicated).
+
+    ``method="iterative"`` samples the matrix-free CG/SLQ surrogate
+    instead of the exact LML — probes are fixed for the whole run, so the
+    target is a smooth deterministic approximation whose bias is the
+    estimator error (see run_smc_large_n's note).
     """
     from gogp_tpu.infer import adapt
     from gogp_tpu.infer.chees import (
@@ -208,6 +217,7 @@ def run_chees_large_n(
     axis_name = chain_axes if chain_axes else None
 
     key_init, key_loop = jax.random.split(rng)
+    key_probes = jax.random.fold_in(rng, 2) if method == "iterative" else None
     sched = adapt.build_schedule(num_warmup)
 
     def device_fn(x_local, y_local, m_local):
@@ -215,6 +225,8 @@ def run_chees_large_n(
             make_rowsharded_logp(
                 gp, x_local, jax.lax.all_gather(x_local, DATA_AXIS, tiled=True),
                 y_local, m_local, DATA_AXIS, block,
+                method=method, key=key_probes, num_probes=num_probes,
+                cg_iters=cg_iters, lanczos_iters=lanczos_iters,
             ),
             DATA_AXIS,
         )
@@ -289,6 +301,10 @@ def run_smc_large_n(
     position0: Array | None = None,
     max_stages: int = 50,
     mutation: str = "hmc",
+    method: str = "exact",
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
 ) -> SMCResult:
     """SMC posterior over log-thetas with N-sharded covariance work AND the
     particle population sharded over the remaining mesh axes.
@@ -304,6 +320,13 @@ def run_smc_large_n(
     ``mutation``: "hmc" (default — gradient-guided, using the sharded
     LML's custom VJP with the cross-device psum baked in via
     :func:`psum_grads`) or "rwm" (log-density only, cheapest per step).
+
+    ``method="iterative"`` swaps the distributed blocked factorization
+    for the matrix-free CG/SLQ core (make_rowsharded_logp): probes are
+    FIXED for the whole run (fold_in(rng, 2)), so the target is a smooth
+    deterministic surrogate of the posterior whose bias is the estimator
+    error — the correlated-across-theta form that Metropolis differences
+    mostly cancel — rather than a fresh-noise pseudo-marginal.
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
@@ -336,11 +359,14 @@ def run_smc_large_n(
     p_local = num_particles // n_part_dev
 
     key_init, key_loop = jax.random.split(rng)
+    key_probes = jax.random.fold_in(rng, 2) if method == "iterative" else None
 
     def device_fn(x_local, y_local, m_local):
         logp = make_rowsharded_logp(
             gp, x_local, jax.lax.all_gather(x_local, DATA_AXIS, tiled=True),
             y_local, m_local, DATA_AXIS, block,
+            method=method, key=key_probes, num_probes=num_probes,
+            cg_iters=cg_iters, lanczos_iters=lanczos_iters,
         )
         if mutation == "hmc":
             logp = psum_grads(logp, DATA_AXIS)

@@ -190,6 +190,31 @@ class TestLargeNSMC:
         )
         assert np.allclose(sp.std(axis=0), dp.std(axis=0), atol=0.3)
 
+    def test_chees_large_n_iterative_surrogate(self, problem):
+        """method='iterative' (fixed-probe CG/SLQ surrogate target) must
+        sample the same posterior as the exact row-sharded path within
+        MC + estimator error."""
+        gp, x, y = problem
+        mesh = parallel.make_mesh(n_chain=2, n_data=4)
+        kwargs = dict(
+            num_chains=8, num_warmup=150, num_samples=200, block=8,
+            sigma0=0.5, init_step_size=0.05, init_traj_length=0.5,
+        )
+        ri = parallel.run_chees_large_n(
+            gp, x, y, jax.random.PRNGKey(0), mesh, method="iterative",
+            num_probes=32, cg_iters=300, lanczos_iters=48, **kwargs,
+        )
+        re = parallel.run_chees_large_n(
+            gp, x, y, jax.random.PRNGKey(0), mesh, **kwargs,
+        )
+        pi = np.asarray(ri.positions).reshape(-1, 3)
+        pe = np.asarray(re.positions).reshape(-1, 3)
+        assert np.all(np.isfinite(pi))
+        assert np.allclose(pi.mean(axis=0), pe.mean(axis=0), atol=0.3), (
+            pi.mean(axis=0), pe.mean(axis=0),
+        )
+        assert np.allclose(pi.std(axis=0), pe.std(axis=0), atol=0.3)
+
     def test_chees_large_n_mesh_invariance(self, problem):
         """1x8 / 2x4 / 4x2 meshes agree on the sampled posterior moments
         (global-chain-index randomness; data-axis psums reassociate)."""

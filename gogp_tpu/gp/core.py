@@ -195,6 +195,7 @@ def lml_iterative(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
 ) -> Array:
     """Matrix-free LML: the :func:`lml` protocol routed through CG solves
     and stochastic-Lanczos-quadrature logdet instead of a factorization
@@ -204,6 +205,11 @@ def lml_iterative(
     where the O(n^3) exact path or its compile cost dominates.  Padded
     rows are identity rows in K and zeros in y, exactly as for the exact
     core, so only the 2pi constant needs the mask count.
+
+    ``precond_rank > 0`` enables the pivoted-Cholesky PCG preconditioner
+    for the solves, with the noise diagonal taken from the GP's own noise
+    kernel — the ill-conditioned regime (optimized lengthscale, small
+    noise) is where it earns its O(n rank^2) setup.
     """
     from gogp_tpu.ops.iterative import lml_core_iterative
 
@@ -218,8 +224,13 @@ def lml_iterative(
     y = y * mask
     K = masked_cov(gp, theta_simil, theta_noise, x, mask)
     n_eff = jnp.sum(mask)
+    noise_diag = None
+    if precond_rank > 0:
+        # padded rows carry identity diagonals in K; the preconditioner's
+        # D must match what the matrix actually has there
+        noise_diag = gp.noise.vector(theta_noise, x) * mask + (1.0 - mask)
     return -0.5 * n_eff * _LOG_2PI + lml_core_iterative(
-        K, y, key, num_probes, cg_iters, lanczos_iters
+        K, y, key, num_probes, cg_iters, lanczos_iters, precond_rank, noise_diag
     )
 
 

@@ -60,17 +60,21 @@ def cg_solve(
     B: Array,
     max_iters: int = 100,
     tol: float = 1e-6,
+    precond=None,
 ) -> tuple[Array, Array]:
-    """Batched conjugate gradients for SPD ``A``: solve A X = B.
+    """Batched (preconditioned) conjugate gradients for SPD ``A``: A X = B.
 
     ``A``: (n, n) array or callable batched matvec (see :func:`_as_matvec`).
     ``B``: (n, k) — all right-hand sides share each A matvec (the point of
     the method on TPU: the matvec streams A once from HBM regardless of k).
+    ``precond``: optional callable V -> M^-1 V (see
+    :func:`pivoted_precond`); with it the loop runs standard PCG.
     Runs until every column's relative residual is below ``tol`` or
     ``max_iters``; converged columns freeze (alpha forced to 0) so extra
     iterations cannot reintroduce error.  Returns (X, iters_used).
     """
     mv = _as_matvec(A)
+    pc = (lambda V: V) if precond is None else precond
     B = jnp.asarray(B)
     squeeze = B.ndim == 1
     if squeeze:
@@ -80,30 +84,94 @@ def cg_solve(
 
     X0 = jnp.zeros_like(B)
     R0 = B
-    P0 = B
-    rs0 = jnp.sum(R0 * R0, axis=0)
+    Z0 = pc(B)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+    rr0 = jnp.sum(R0 * R0, axis=0)
 
     def cond(carry):
-        _, _, _, rs, it = carry
-        return (it < max_iters) & jnp.any(rs > stop2)
+        _, _, _, _, rr, it = carry
+        return (it < max_iters) & jnp.any(rr > stop2)
 
     def body(carry):
-        X, R, P, rs, it = carry
+        X, R, P, rz, rr, it = carry
         AP = mv(P)
         denom = jnp.sum(P * AP, axis=0)
-        active = rs > stop2
-        alpha = jnp.where(active, rs / jnp.maximum(denom, 1e-30), 0.0)
+        active = rr > stop2
+        alpha = jnp.where(active, rz / jnp.maximum(denom, 1e-30), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP
-        rs_new = jnp.sum(R * R, axis=0)
-        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
-        P = R + beta[None, :] * P
-        return X, R, P, rs_new, it + 1
+        Z = pc(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, jnp.sum(R * R, axis=0), it + 1
 
-    X, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (X0, R0, P0, rs0, jnp.asarray(0, jnp.int32))
+    X, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (X0, R0, P0, rz0, rr0, jnp.asarray(0, jnp.int32))
     )
     return (X[:, 0] if squeeze else X), iters
+
+
+def pivoted_cholesky(K: Array, rank: int, shift: Array | float = 0.0) -> Array:
+    """Partial pivoted Cholesky: L (n, rank) with K - shift*I ~= L L^T.
+
+    Greedy residual-diagonal pivoting (Harbrecht et al.) — the standard
+    low-rank capture of a smooth kernel matrix's fast-decaying spectrum.
+    ``shift`` removes a known diagonal (noise/jitter) from the pivoting
+    target so the columns chase the signal part.  O(n * rank^2), fully
+    jittable (dynamic pivots are gathers).
+    """
+    n = K.shape[-1]
+    d0 = jnp.diagonal(K) - shift
+    L0 = jnp.zeros((n, rank), K.dtype)
+
+    def step(j, carry):
+        L, d = carry
+        i = jnp.argmax(d)
+        col = jnp.take(K, i, axis=1) - shift * (
+            jnp.arange(n) == i
+        ).astype(K.dtype)
+        lj = (col - L @ L[i]) / jnp.sqrt(jnp.maximum(d[i], 1e-30))
+        # a tiny/negative residual pivot means the rank is exhausted:
+        # write a zero column instead of amplified noise
+        lj = jnp.where(d[i] > 1e-12 * jnp.maximum(d0[0], 1e-30), lj, 0.0)
+        L = L.at[:, j].set(lj)
+        d = jnp.maximum(d - lj * lj, 0.0)
+        return L, d
+
+    L, _ = jax.lax.fori_loop(0, rank, step, (L0, d0))
+    return L
+
+
+def pivoted_precond(K: Array, rank: int, noise_diag: Array | float):
+    """Woodbury apply-callable for P = L L^T + D, L from
+    :func:`pivoted_cholesky` (pivoting on K - D):
+
+        P^-1 = D^-1 - D^-1 L (I + L^T D^-1 L)^-1 L^T D^-1.
+
+    ``noise_diag``: scalar or (n,) — the observation-noise/jitter diagonal
+    of K (for GP covariances this is exactly gp.noise + jitter).  The
+    returned callable maps (n, k) -> (n, k) in O(n * rank * k).
+    """
+    n = K.shape[-1]
+    dvec = jnp.broadcast_to(jnp.asarray(noise_diag, K.dtype), (n,))
+    shift_scalar = jnp.mean(dvec)
+    L = pivoted_cholesky(K, rank, shift=shift_scalar)
+    dinv = 1.0 / dvec
+    M = jnp.eye(rank, dtype=K.dtype) + L.T @ (dinv[:, None] * L)
+    Mc = jnp.linalg.cholesky(M)
+
+    def apply(V):
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        DV = dinv[:, None] * V
+        t = jax.scipy.linalg.cho_solve((Mc, True), L.T @ DV)
+        out = DV - dinv[:, None] * (L @ t)
+        return out[:, 0] if squeeze else out
+
+    return apply
 
 
 def _lanczos(A, z: Array, num_steps: int) -> tuple[Array, Array]:
@@ -190,31 +258,46 @@ def slq_logdet(
     return jnp.asarray(n, Z.dtype) * jnp.mean(quads)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _maybe_precond(K, noise_diag, precond_rank):
+    if precond_rank <= 0:
+        return None
+    return pivoted_precond(
+        jax.lax.stop_gradient(K), precond_rank, jax.lax.stop_gradient(noise_diag)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _lml_core_iterative(
     K: Array,
     y: Array,
     probes_slq: Array,  # (p, n) for the logdet quadrature
     probes_tr: Array,  # (n, p) for the Hutchinson trace in the backward
+    noise_diag: Array,  # (n,) diagonal for the optional preconditioner
     cg_iters: int,
     lanczos_iters: int,
+    precond_rank: int,
 ) -> Array:
-    alpha, _ = cg_solve(K, y, cg_iters)
+    pc = _maybe_precond(K, noise_diag, precond_rank)
+    alpha, _ = cg_solve(K, y, cg_iters, precond=pc)
     logdet = slq_logdet(K, probes_slq, lanczos_iters)
     return -0.5 * (logdet + jnp.dot(y, alpha))
 
 
-def _lml_iter_fwd(K, y, probes_slq, probes_tr, cg_iters, lanczos_iters):
+def _lml_iter_fwd(K, y, probes_slq, probes_tr, noise_diag,
+                  cg_iters, lanczos_iters, precond_rank):
+    pc = _maybe_precond(K, noise_diag, precond_rank)
     # one batched CG solves y and all trace probes together: K streams
     # from HBM once per iteration for the whole block
-    X, _ = cg_solve(K, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+    X, _ = cg_solve(
+        K, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters, precond=pc
+    )
     alpha, S = X[:, 0], X[:, 1:]
     logdet = slq_logdet(K, probes_slq, lanczos_iters)
     value = -0.5 * (logdet + jnp.dot(y, alpha))
     return value, (alpha, probes_tr, S)
 
 
-def _lml_iter_bwd(cg_iters, lanczos_iters, res, g):
+def _lml_iter_bwd(cg_iters, lanczos_iters, precond_rank, res, g):
     alpha, Z, S = res
     p = Z.shape[1]
     # tr(K^-1 dK) ~= tr(dK (1/2p)(Z S^T + S Z^T)); dK is symmetric so the
@@ -222,9 +305,10 @@ def _lml_iter_bwd(cg_iters, lanczos_iters, res, g):
     trace_est = (Z @ S.T + S @ Z.T) / (2.0 * p)
     Kbar = (0.5 * g) * (jnp.outer(alpha, alpha) - trace_est)
     ybar = -g * alpha
-    # probes are constants of the estimator: zero cotangents
+    # probes and the preconditioner diagonal are constants of the
+    # estimator: zero cotangents
     zbar_slq = jnp.zeros((p, Z.shape[0]), Z.dtype)
-    return Kbar, ybar, zbar_slq, jnp.zeros_like(Z)
+    return Kbar, ybar, zbar_slq, jnp.zeros_like(Z), jnp.zeros((Z.shape[0],), Z.dtype)
 
 
 _lml_core_iterative.defvjp(_lml_iter_fwd, _lml_iter_bwd)
@@ -237,6 +321,8 @@ def lml_core_iterative(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
+    noise_diag: Array | float | None = None,
 ) -> Array:
     """-1/2 (log|K| + y^T K^-1 y) without factorizing K.
 
@@ -245,13 +331,25 @@ def lml_core_iterative(
     reuses the probe solves — see the module docstring for the exact
     value/gradient estimator contract.  The (n/2)log2pi constant lives in
     the GP layer, as for lml_core.
+
+    ``precond_rank > 0`` runs the solves as PCG with the rank-k pivoted-
+    Cholesky Woodbury preconditioner (:func:`pivoted_precond`); pass the
+    covariance's noise/jitter diagonal as ``noise_diag`` (scalar or (n,)).
+    The logdet quadrature stays unpreconditioned (GPyTorch-style
+    preconditioned SLQ is future work); the preconditioner only
+    accelerates the solves, it never changes what they converge to.
     """
     n = K.shape[-1]
+    if precond_rank > 0 and noise_diag is None:
+        raise ValueError("precond_rank > 0 needs the covariance noise_diag")
+    nd = jnp.broadcast_to(
+        jnp.asarray(0.0 if noise_diag is None else noise_diag, K.dtype), (n,)
+    )
     k1, k2 = jax.random.split(jnp.asarray(key))
     probes_slq = rademacher(k1, (num_probes, n), K.dtype)
     probes_tr = rademacher(k2, (n, num_probes), K.dtype)
     return _lml_core_iterative(
-        K, y, probes_slq, probes_tr, cg_iters, lanczos_iters
+        K, y, probes_slq, probes_tr, nd, cg_iters, lanczos_iters, precond_rank
     )
 
 

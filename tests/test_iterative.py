@@ -61,6 +61,62 @@ class TestSLQ:
         )
 
 
+def make_dense_gp_cov(n=256, noise_var=1e-2, seed=6):
+    """The ill-conditioned production shape: densely sampled inputs, long
+    lengthscale, small noise — cond(K) ~ 1/noise_var."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 10, n))
+    K = np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / 4.0)
+    return jnp.asarray(K + noise_var * np.eye(n)), noise_var
+
+
+class TestPivotedPrecond:
+    def test_pivoted_cholesky_captures_smooth_kernel(self):
+        from gogp_tpu.ops.iterative import pivoted_cholesky
+
+        K, nv = make_dense_gp_cov()
+        L = pivoted_cholesky(K, rank=32, shift=nv)
+        resid = np.asarray(K - nv * jnp.eye(K.shape[0]) - L @ L.T)
+        rel = np.linalg.norm(resid) / float(jnp.linalg.norm(K))
+        assert rel < 1e-3, rel  # smooth RBF spectrum decays fast
+
+    def test_pcg_beats_plain_cg(self):
+        from gogp_tpu.ops.iterative import cg_solve, pivoted_precond
+
+        K, nv = make_dense_gp_cov()
+        y = jnp.asarray(np.random.default_rng(7).normal(size=K.shape[0]))
+        x_plain, it_plain = cg_solve(K, y, max_iters=1000, tol=1e-8)
+        pc = pivoted_precond(K, 32, nv)
+        x_pc, it_pc = cg_solve(K, y, max_iters=1000, tol=1e-8, precond=pc)
+        direct = jnp.linalg.solve(K, y)
+        np.testing.assert_allclose(np.asarray(x_pc), np.asarray(direct), atol=1e-5)
+        # the point of the preconditioner: far fewer K streams
+        assert int(it_pc) * 4 < int(it_plain), (int(it_pc), int(it_plain))
+
+    def test_lml_precond_rescues_small_cg_budget(self):
+        """At a CG budget where the plain solves have not converged on the
+        ill-conditioned covariance, the preconditioned path must land on
+        the exact quadratic term."""
+        from gogp_tpu.ops.iterative import lml_core_iterative
+
+        K, nv = make_dense_gp_cov()
+        y = jnp.asarray(np.random.default_rng(8).normal(size=K.shape[0]))
+        L = jnp.linalg.cholesky(K)
+        exact = -0.5 * (
+            2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            + y @ jax.scipy.linalg.cho_solve((L, True), y)
+        )
+        kwargs = dict(num_probes=64, cg_iters=40, lanczos_iters=48)
+        plain = lml_core_iterative(K, y, jax.random.PRNGKey(2), **kwargs)
+        pc = lml_core_iterative(
+            K, y, jax.random.PRNGKey(2), precond_rank=32, noise_diag=nv, **kwargs
+        )
+        err_plain = abs(float(plain - exact)) / abs(float(exact))
+        err_pc = abs(float(pc - exact)) / abs(float(exact))
+        assert err_pc < 0.02, err_pc
+        assert err_pc < err_plain
+
+
 class TestIterativeLML:
     def setup_method(self):
         self.gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)

@@ -75,13 +75,22 @@ def main():
     ap.add_argument("--precision", default="default",
                     choices=["default", "tensorfloat32", "float32"])
     ap.add_argument("--compare-exact", action="store_true")
+    ap.add_argument("--theta", default="",
+                    help="comma-separated log-thetas (scale, lengthscale, "
+                    "noise-std); default zeros.  An optimized theta on "
+                    "dense inputs is the ill-conditioned stress case")
+    ap.add_argument("--precond-rank", type=int, default=0,
+                    help="pivoted-Cholesky PCG rank for the solves")
     args = ap.parse_args()
 
     from gogp_tpu.models.params import gp_observe
     from gogp_tpu.gp.core import lml_iterative
 
     gp, x, y = build(args.n)
-    v = jnp.zeros(gp.n_theta, jnp.float32)
+    if args.theta:
+        v = jnp.asarray([float(s) for s in args.theta.split(",")], jnp.float32)
+    else:
+        v = jnp.zeros(gp.n_theta, jnp.float32)
     key = jax.random.PRNGKey(args.seed)
 
     prec = (
@@ -92,13 +101,13 @@ def main():
 
     def iter_vg(v):
         with prec:
-            th = jnp.exp(v)
             return jax.value_and_grad(
                 lambda v: lml_iterative(
                     gp, jnp.exp(v)[: gp.n_theta_simil],
                     jnp.exp(v)[gp.n_theta_simil :], x, y, key,
                     num_probes=args.probes, cg_iters=args.cg_iters,
                     lanczos_iters=args.lanczos,
+                    precond_rank=args.precond_rank,
                 )
             )(v)
 
@@ -114,6 +123,8 @@ def main():
         "cg_iters": args.cg_iters,
         "lanczos_iters": args.lanczos,
         "precision": args.precision,
+        "precond_rank": args.precond_rank,
+        "theta": [round(float(t), 3) for t in np.asarray(v)],
         "lml": round(float(vi), 3),
         "finite": bool(np.isfinite(float(vi)) and np.isfinite(np.asarray(gi)).all()),
         "floor_ms": round(floor, 3),

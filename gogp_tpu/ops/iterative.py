@@ -97,7 +97,13 @@ def cg_solve(
         X, R, P, rz, rr, it = carry
         AP = mv(P)
         denom = jnp.sum(P * AP, axis=0)
-        active = rr > stop2
+        # a non-positive curvature p^T A p means matvec precision noise
+        # (~eps * lambda_max) has swamped the smallest eigenvalues — the
+        # column cannot make progress at this precision.  Freeze it (alpha
+        # 0) instead of taking the exploding step: the result honestly
+        # stalls at the achievable residual rather than overflowing to NaN
+        # (observed: cond ~1e6 covariance at 1-pass-bf16/tf32 matvecs).
+        active = (rr > stop2) & (denom > 0.0)
         alpha = jnp.where(active, rz / jnp.maximum(denom, 1e-30), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP

@@ -5,6 +5,7 @@ from gogp_tpu.gp.core import (  # noqa: F401
     lml,
     lml_from_posterior,
     lml_iterative,
+    lml_iterative_matfree,
     predict,
     predict_from_posterior,
     predict_mixture,

@@ -234,6 +234,98 @@ def lml_iterative(
     )
 
 
+def _cov_rows_fn(gp: GP, theta_simil, theta_noise, x, mask, panel: int):
+    """Rows [row0, row0+panel) of masked_cov, built on the fly — the
+    panel-rematerialized form of the same assembly (noise + identity rows
+    via broadcasted-iota, never scatters)."""
+    n = x.shape[0]
+
+    def rows_at(row0):
+        x_p = jax.lax.dynamic_slice_in_dim(x, row0, panel, 0)
+        m_p = jax.lax.dynamic_slice_in_dim(mask, row0, panel, 0)
+        rows = gp.simil.matrix(theta_simil, x_p, x)  # (panel, n)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (panel, n), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (panel, n), 0) + row0
+        eye = col_ids == row_ids
+        noise = gp.noise.vector(theta_noise, x_p)
+        rows = jnp.where(eye, rows + noise[:, None], rows)
+        rows = rows * (m_p[:, None] * mask[None, :])
+        rows = jnp.where(eye, rows + (1.0 - m_p[:, None]), rows)
+        return rows
+
+    return rows_at
+
+
+def lml_iterative_matfree(
+    gp: GP,
+    theta_simil,
+    theta_noise,
+    x,
+    y,
+    key,
+    mask=None,
+    panel: int = 1024,
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
+) -> Array:
+    """Matrix-free LML with K never materialized: O(panel * n) memory.
+
+    :func:`lml_iterative` stores K (n, n); this form rematerializes each
+    (panel, n) block inside every CG/Lanczos matvec — a stationary kernel
+    entry costs a few flops while an f32 HBM read costs 4 bytes, so on
+    TPU recomputing beats storing and n is bounded by compute, not HBM
+    (the dense iterative path's measured ceiling was the 4 GB covariance
+    at n=32768).  The theta gradient differentiates the quadratic-forms
+    scalar with the CG solutions frozen (ops.iterative.
+    matfree_quadratic_forms), so no (n, n) object exists in the backward
+    either.  Same estimator contract (and same probes, given the same
+    key) as :func:`lml_iterative`.
+    """
+    from gogp_tpu.ops import iterative
+
+    x, y = _as_xy(gp, x, y)
+    n = x.shape[0]
+    theta_simil = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    theta_noise = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    if mask is None:
+        mask = jnp.ones((n,), dtype=x.dtype)
+    else:
+        mask = jnp.asarray(mask, dtype=x.dtype)
+    y = y * mask
+
+    @jax.custom_vjp
+    def core(ts, tn, yv):
+        rows_fn = _cov_rows_fn(gp, ts, tn, x, mask, panel)
+        value, _ = iterative.lml_matfree(
+            rows_fn, yv, key, panel, num_probes, cg_iters, lanczos_iters
+        )
+        return value
+
+    def fwd(ts, tn, yv):
+        rows_fn = _cov_rows_fn(gp, ts, tn, x, mask, panel)
+        value, aux = iterative.lml_matfree(
+            rows_fn, yv, key, panel, num_probes, cg_iters, lanczos_iters
+        )
+        return value, (ts, tn, aux)
+
+    def bwd(res, g):
+        ts, tn, (alpha, Z, S) = res
+
+        def h(ts_, tn_):
+            rows_fn = _cov_rows_fn(gp, ts_, tn_, x, mask, panel)
+            return iterative.matfree_quadratic_forms(
+                rows_fn, n, panel, alpha, Z, S
+            )
+
+        gts, gtn = jax.grad(h, argnums=(0, 1))(ts, tn)
+        return (0.5 * g) * gts, (0.5 * g) * gtn, -g * alpha
+
+    core.defvjp(fwd, bwd)
+    n_eff = jnp.sum(mask)
+    return -0.5 * n_eff * _LOG_2PI + core(theta_simil, theta_noise, y)
+
+
 def predict_from_posterior(gp: GP, post: Posterior, z) -> tuple[Array, Array]:
     """Posterior mean and std at test inputs ``z`` — reference ``Produce``
     (gp/gp.go:258-360), with its exact semantics:

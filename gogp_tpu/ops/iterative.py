@@ -455,3 +455,109 @@ def lml_rowsharded_iterative(
     return _lml_core_iter_rows(
         K_rows, y, probes_slq, probes_tr, axis, cg_iters, lanczos_iters
     )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free form: K is never materialized at all.
+#
+# The iterative path above still stores K (n, n) and streams it from HBM —
+# 4 GB at n=32768 was the measured single-chip ceiling.  Rematerializing
+# instead is the TPU-shaped trade: a stationary kernel entry costs a few
+# flops while an f32 read costs 4 bytes of bandwidth, so computing each
+# (panel, n) block of K on the fly inside every matvec is roughly as fast
+# as reading it and needs O(panel * n) memory — n is then bounded by
+# compute, not HBM.  The theta gradient never forms Kbar (n, n) either:
+# with the CG solutions frozen, d lml = g/2 * d/dtheta [ a^T K(theta) a
+# - mean_j s_j^T K(theta) z_j ], a scalar function evaluated panel-wise
+# and differentiated by jax.grad.
+# ---------------------------------------------------------------------------
+
+
+def _panel_rows(cov_rows_fn, row0: Array, panel: int, n: int):
+    """Rows [row0, row0+panel) of the implicit matrix via the caller's
+    ``cov_rows_fn(row0, panel) -> (panel, n)``."""
+    return cov_rows_fn(row0, panel)
+
+
+def matfree_matvec(cov_rows_fn, n: int, panel: int):
+    """Batched matvec V -> K V with K produced panel-by-panel.
+
+    ``cov_rows_fn(row0) -> (panel, n)``: rows of K starting at static-size
+    panels (n % panel == 0).  The loop is a lax.map over panel starts —
+    sequential, constant memory, each step one (panel, n) x (n, k) MXU
+    matmul fused with the kernel evaluation that produced the rows.
+    """
+    if n % panel != 0:
+        raise ValueError(f"n={n} not divisible by panel={panel}")
+    starts = jnp.arange(0, n, panel)
+
+    def mv(V):
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+
+        def one(row0):
+            return cov_rows_fn(row0) @ V  # (panel, k)
+
+        out = jax.lax.map(one, starts)  # (n/panel, panel, k)
+        out = out.reshape(n, V.shape[1])
+        return out[:, 0] if squeeze else out
+
+    return mv
+
+
+def lml_matfree(
+    cov_rows_fn,
+    y: Array,
+    key: Array,
+    panel: int = 1024,
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
+):
+    """Matrix-free -1/2 (log|K| + y^T K^-1 y) plus the ingredients for the
+    caller's gradient: returns (value, aux) where aux = (alpha, Z, S).
+
+    ``cov_rows_fn(row0) -> (panel, n)`` produces rows of K; it may close
+    over hyperparameters — differentiate the VALUE through
+    :func:`matfree_quadratic_forms` with the aux frozen (see
+    gp.core.lml_iterative_matfree for the packaged custom-VJP form).
+    """
+    n = y.shape[0]
+    mv = matfree_matvec(cov_rows_fn, n, panel)
+    k1, k2 = jax.random.split(jnp.asarray(key))
+    probes_slq = rademacher(k1, (num_probes, n), y.dtype)
+    probes_tr = rademacher(k2, (n, num_probes), y.dtype)
+    X, _ = cg_solve(mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+    alpha, S = X[:, 0], X[:, 1:]
+    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    value = -0.5 * (logdet + jnp.dot(y, alpha))
+    return value, (alpha, probes_tr, S)
+
+
+def matfree_quadratic_forms(cov_rows_fn, n: int, panel: int,
+                            alpha: Array, Z: Array, S: Array) -> Array:
+    """h = alpha^T K alpha - (1/2p) tr(Z S^T K + S Z^T K), panel-wise.
+
+    d lml = g/2 * dh/dtheta with (alpha, Z, S) held fixed — the matrix-
+    free equivalent of pairing Kbar = g/2 (aa^T - sym(ZS^T)/p) against dK
+    without ever forming either (n, n) matrix.  Differentiate this scalar
+    w.r.t. whatever ``cov_rows_fn`` closes over.
+    """
+    if n % panel != 0:
+        raise ValueError(f"n={n} not divisible by panel={panel}")
+    starts = jnp.arange(0, n, panel)
+    p = Z.shape[1]
+
+    def one(row0):
+        rows = cov_rows_fn(row0)  # (panel, n)
+        a_rows = jax.lax.dynamic_slice_in_dim(alpha, row0, panel)
+        Z_rows = jax.lax.dynamic_slice_in_dim(Z, row0, panel, 0)
+        S_rows = jax.lax.dynamic_slice_in_dim(S, row0, panel, 0)
+        quad = a_rows @ (rows @ alpha)
+        # symmetrized trace estimate, same form as the dense backward
+        tr = 0.5 * (jnp.sum(Z_rows * (rows @ S)) + jnp.sum(S_rows * (rows @ Z)))
+        return quad - tr / p
+
+    vals = jax.lax.map(one, starts)
+    return jnp.sum(vals)

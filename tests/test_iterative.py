@@ -21,6 +21,10 @@ from gogp_tpu.ops.iterative import (
 )
 
 
+def gp_of(test):
+    return test.gp
+
+
 def make_spd(n, seed=0, shift=0.5):
     rng = np.random.default_rng(seed)
     a = rng.normal(size=(n, n))
@@ -170,6 +174,58 @@ class TestIterativeLML:
         a = float(self._iter(self.v))
         b = float(jax.jit(self._iter)(self.v))
         assert abs(a - b) < 1e-8 * abs(a)
+
+    def test_matfree_matches_dense_iterative(self):
+        """lml_iterative_matfree (K rematerialized panel-by-panel, theta
+        gradient via the frozen-solution quadratic forms) must equal the
+        dense iterative path bit-for-bit up to reassociation — same key,
+        same probes, same CG trajectory."""
+        from gogp_tpu.gp.core import lml_iterative_matfree
+
+        key = jax.random.PRNGKey(7)
+        kw = dict(num_probes=32, cg_iters=300, lanczos_iters=48)
+
+        def f_dense(v):
+            th = jnp.exp(v)
+            return lml_iterative(gp_of(self), th[:2], th[2:], self.x, self.y, key, **kw)
+
+        def f_free(v):
+            th = jnp.exp(v)
+            return lml_iterative_matfree(
+                gp_of(self), th[:2], th[2:], self.x, self.y, key, panel=64, **kw
+            )
+
+        vd, gd = jax.value_and_grad(f_dense)(self.v)
+        vf, gf = jax.value_and_grad(f_free)(self.v)
+        assert abs(float(vd - vf)) < 1e-5
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gf), rtol=1e-4, atol=1e-4)
+
+    def test_matfree_mask(self):
+        from gogp_tpu.gp.core import lml_iterative_matfree
+
+        th = jnp.exp(self.v)
+        n = self.x.shape[0]
+        mask = jnp.ones(n).at[-64:].set(0.0)
+        key = jax.random.PRNGKey(9)
+        kw = dict(num_probes=48, cg_iters=300, lanczos_iters=48)
+        free = lml_iterative_matfree(
+            gp_of(self), th[:2], th[2:], self.x, self.y, key, mask=mask,
+            panel=64, **kw,
+        )
+        dense = lml_iterative(
+            gp_of(self), th[:2], th[2:], self.x, self.y, key, mask=mask, **kw
+        )
+        assert abs(float(free - dense)) < 1e-5 * abs(float(dense))
+
+    def test_matfree_panel_divisibility(self):
+        from gogp_tpu.ops.iterative import matfree_matvec
+
+        try:
+            matfree_matvec(lambda r: None, 100, 33)
+        except ValueError as e:
+            assert "divisible" in str(e)
+        else:
+            raise AssertionError("expected ValueError")
 
     def test_masked_rows_ignored(self):
         """Padding contract: identity rows in K / zeros in y contribute

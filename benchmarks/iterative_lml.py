@@ -81,10 +81,15 @@ def main():
                     "dense inputs is the ill-conditioned stress case")
     ap.add_argument("--precond-rank", type=int, default=0,
                     help="pivoted-Cholesky PCG rank for the solves")
+    ap.add_argument("--matfree", action="store_true",
+                    help="never materialize K: panel-rematerialized "
+                    "matvecs (gp.lml_iterative_matfree) — the route past "
+                    "the HBM covariance ceiling")
+    ap.add_argument("--panel", type=int, default=2048)
     args = ap.parse_args()
 
     from gogp_tpu.models.params import gp_observe
-    from gogp_tpu.gp.core import lml_iterative
+    from gogp_tpu.gp.core import lml_iterative, lml_iterative_matfree
 
     gp, x, y = build(args.n)
     if args.theta:
@@ -99,17 +104,24 @@ def main():
         else jax.default_matmul_precision(args.precision)
     )
 
+    def lml_of(v):
+        ts = jnp.exp(v)[: gp.n_theta_simil]
+        tn = jnp.exp(v)[gp.n_theta_simil :]
+        if args.matfree:
+            return lml_iterative_matfree(
+                gp, ts, tn, x, y, key, panel=args.panel,
+                num_probes=args.probes, cg_iters=args.cg_iters,
+                lanczos_iters=args.lanczos,
+            )
+        return lml_iterative(
+            gp, ts, tn, x, y, key,
+            num_probes=args.probes, cg_iters=args.cg_iters,
+            lanczos_iters=args.lanczos, precond_rank=args.precond_rank,
+        )
+
     def iter_vg(v):
         with prec:
-            return jax.value_and_grad(
-                lambda v: lml_iterative(
-                    gp, jnp.exp(v)[: gp.n_theta_simil],
-                    jnp.exp(v)[gp.n_theta_simil :], x, y, key,
-                    num_probes=args.probes, cg_iters=args.cg_iters,
-                    lanczos_iters=args.lanczos,
-                    precond_rank=args.precond_rank,
-                )
-            )(v)
+            return jax.value_and_grad(lml_of)(v)
 
     floor = devloop(lambda a: a * 1.0000001, jnp.ones((8, 128)))
     it_ms = devloop(iter_vg, v) - floor
@@ -124,6 +136,7 @@ def main():
         "lanczos_iters": args.lanczos,
         "precision": args.precision,
         "precond_rank": args.precond_rank,
+        "matfree": args.matfree,
         "theta": [round(float(t), 3) for t in np.asarray(v)],
         "lml": round(float(vi), 3),
         "finite": bool(np.isfinite(float(vi)) and np.isfinite(np.asarray(gi)).all()),

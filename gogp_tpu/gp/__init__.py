@@ -7,6 +7,7 @@ from gogp_tpu.gp.core import (  # noqa: F401
     lml_iterative,
     lml_iterative_matfree,
     predict,
+    predict_iterative,
     predict_from_posterior,
     predict_mixture,
     predict_prior,

@@ -363,6 +363,56 @@ def predict(gp: GP, theta_simil, theta_noise, x, y, z, mask=None) -> tuple[Array
     return predict_from_posterior(gp, post, z)
 
 
+def predict_iterative(
+    gp: GP,
+    theta_simil,
+    theta_noise,
+    x,
+    y,
+    z,
+    mask=None,
+    panel: int = 1024,
+    cg_iters: int = 200,
+    tol: float = 1e-6,
+) -> tuple[Array, Array]:
+    """Matrix-free ``Produce``: the exact predict semantics (noise-free
+    latent bands, reference gp/gp.go:258-360) with every K-solve done by
+    CG over panel-rematerialized covariance matvecs — no factorization,
+    no (n, n) storage, O(panel*n + n*m) memory.
+
+    One batched CG solves [y | Kstar] together (m+1 right-hand sides share
+    each matvec), then  mu = Kstar^T alpha  and
+    sigma_i^2 = k(z_i, z_i) - Kstar[:, i] . W[:, i]  with W = K^-1 Kstar.
+    Deterministic (no probes — only solves are needed).  For n where
+    :func:`absorb`'s factorization is the bottleneck or K does not fit.
+    """
+    from gogp_tpu.ops.iterative import cg_solve, matfree_matvec
+
+    x, y = _as_xy(gp, x, y)
+    z = jnp.atleast_2d(jnp.asarray(z))
+    n = x.shape[0]
+    theta_simil = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    theta_noise = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    if mask is None:
+        mask = jnp.ones((n,), dtype=x.dtype)
+    else:
+        mask = jnp.asarray(mask, dtype=x.dtype)
+    yv = y * mask
+
+    rows_fn = _cov_rows_fn(gp, theta_simil, theta_noise, x, mask, panel)
+    mv = matfree_matvec(rows_fn, n, panel)
+    kstar = gp.simil.matrix(theta_simil, x, z) * mask[:, None]  # (n, m)
+    X, _ = cg_solve(mv, jnp.concatenate([yv[:, None], kstar], axis=1),
+                    cg_iters, tol)
+    alpha, W = X[:, 0], X[:, 1:]
+    mu = kstar.T @ alpha
+    prior_var = gp.simil.diag_matrix(theta_simil, z)
+    var = prior_var - jnp.sum(kstar * W, axis=0)
+    # exact-path semantics: tiny negative from solve error clamps to 0
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    return mu, sigma
+
+
 def predict_mixture(gp: GP, vs: Array, x, y, z, mask=None) -> tuple[Array, Array]:
     """Bayesian posterior predictive: moment-matched mixture over sampled
     hyperparameters.

@@ -227,6 +227,32 @@ class TestIterativeLML:
         else:
             raise AssertionError("expected ValueError")
 
+    def test_predict_iterative_matches_exact_produce(self):
+        """Matrix-free Produce: one batched CG for [y | Kstar] reproduces
+        absorb+predict (noise-free bands, reference gp/gp.go:258-360) to
+        solver tolerance — deterministic, no probes involved."""
+        from gogp_tpu.gp.core import predict, predict_iterative
+
+        th = jnp.exp(self.v)
+        z = jnp.linspace(0, 11, 23).reshape(-1, 1)
+        mu_e, s_e = predict(self.gp, th[:2], th[2:], self.x, self.y, z)
+        mu_i, s_i = predict_iterative(
+            self.gp, th[:2], th[2:], self.x, self.y, z,
+            panel=64, cg_iters=400, tol=1e-10,
+        )
+        np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_e), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(s_i), np.asarray(s_e), atol=1e-7)
+        # masked rows drop out exactly like the exact path
+        n = self.x.shape[0]
+        mask = jnp.ones(n).at[-50:].set(0.0)
+        mu_e2, s_e2 = predict(self.gp, th[:2], th[2:], self.x, self.y, z, mask=mask)
+        mu_i2, s_i2 = predict_iterative(
+            self.gp, th[:2], th[2:], self.x, self.y, z, mask=mask,
+            panel=64, cg_iters=400, tol=1e-10,
+        )
+        np.testing.assert_allclose(np.asarray(mu_i2), np.asarray(mu_e2), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(s_i2), np.asarray(s_e2), atol=1e-7)
+
     def test_masked_rows_ignored(self):
         """Padding contract: identity rows in K / zeros in y contribute
         nothing, matching the exact core's masking semantics."""

@@ -103,10 +103,19 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
         )(states, loop_keys, betas_all)
 
     t0w = time.perf_counter()
+    warm_c = warm_chunk.lower(
+        states, loop_keys, betas_all, sched.update_mass[:CHUNK],
+        sched.window_end[:CHUNK], jnp.asarray(0),
+    ).compile()
+    compile_s = time.perf_counter() - t0w
+
+    t0w = time.perf_counter()
     for i in range(0, num_warmup, CHUNK):
-        states, loop_keys, betas_all = warm_chunk(
-            states, loop_keys, betas_all, sched.update_mass[i : i + CHUNK],
-            sched.window_end[i : i + CHUNK], jnp.asarray(i),
+        um = sched.update_mass[i : i + CHUNK]
+        we = sched.window_end[i : i + CHUNK]
+        f = warm_c if um.shape[0] == CHUNK else warm_chunk
+        states, loop_keys, betas_all = f(
+            states, loop_keys, betas_all, um, we, jnp.asarray(i)
         )
     np.asarray(states.logp)  # sync (block_until_ready does not wait through the tunnel)
     warm_time = time.perf_counter() - t0w
@@ -165,6 +174,7 @@ def run_pt(chains: int = 8, n_replicas: int = 8, num_warmup: int = 512,
         "min_ess": round(min_ess, 1),
         "walltime_s": round(walltime, 3),
         "warmup_s": round(warm_time, 3),
+        "warm_compile_s": round(compile_s, 3),
         "chains": chains,
         "n_replicas": n_replicas,
         "samples_per_chain": num_samples,
@@ -431,11 +441,18 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
         states, _ = jax.lax.scan(step, states, (um, we))
         return states
 
+    # AOT-compile so warm_time measures adaptation compute (chees parity)
+    t0 = time.perf_counter()
+    warm_c = warm_chunk.lower(
+        states, sched.update_mass[:CHUNK], sched.window_end[:CHUNK]
+    ).compile()
+    compile_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     for i in range(0, num_warmup, CHUNK):
-        states = warm_chunk(
-            states, sched.update_mass[i : i + CHUNK], sched.window_end[i : i + CHUNK]
-        )
+        um = sched.update_mass[i : i + CHUNK]
+        we = sched.window_end[i : i + CHUNK]
+        states = warm_c(states, um, we) if um.shape[0] == CHUNK else warm_chunk(states, um, we)
     np.asarray(states.logp)  # sync (block_until_ready does not wait through the tunnel)
     warm_time = time.perf_counter() - t0
     states = jax.jit(jax.vmap(finalize_warmup))(states)
@@ -471,6 +488,7 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
         "min_ess": round(min_ess, 1),
         "walltime_s": round(walltime, 3),
         "warmup_s": round(warm_time, 3),
+        "warm_compile_s": round(compile_s, 3),
         "chains": chains,
         "samples_per_chain": num_samples,
         "max_tree_depth": max_depth,

@@ -143,3 +143,58 @@ class TestIllConditionedF32:
             num_particles=32, num_mcmc_steps=2, max_stages=10, mutation="rwm",
         )
         assert bool(jnp.all(jnp.isfinite(res.particles)))
+
+
+class TestIterativeF32:
+    """f32 behavior of the matrix-free path (ops/iterative) on CPU: the
+    arithmetic is IEEE-f32 like the TPU's HIGHEST-precision mode (the
+    measured on-chip failure at DEFAULT 1-pass-bf16 matvecs — NaN at
+    cond ~1e6 — is below what CPU f32 can reproduce; the CG curvature
+    guard covering it is unit-tested in test_iterative.py)."""
+
+    def test_well_noised_matches_f64(self, f32):
+        from gogp_tpu.gp.core import lml_iterative
+
+        gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = _problem(256)
+        key = jax.random.PRNGKey(3)
+        kw = dict(num_probes=32, cg_iters=300, lanczos_iters=48)
+        with jax.enable_x64(True):
+            l64 = float(
+                lml_iterative(
+                    gp, jnp.ones(2, jnp.float64), jnp.ones(1, jnp.float64),
+                    jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64),
+                    key, **kw,
+                )
+            )
+        l32 = float(
+            lml_iterative(
+                gp, jnp.ones(2, jnp.float32), jnp.ones(1, jnp.float32),
+                jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+                key, **kw,
+            )
+        )
+        # same probes, same estimator: f32 shifts the Lanczos/CG
+        # trajectories at roundoff, moving the quadrature by ~1e-3
+        # relative (measured 8e-4 here) — an order below the estimator's
+        # own ~1/sqrt(p) error, so f32 costs nothing that matters
+        assert abs(l32 - l64) <= 2e-3 * abs(l64), (l32, l64)
+
+    def test_pcg_ill_conditioned_f32(self, f32):
+        """The dense-data/small-noise covariance at f32: preconditioned
+        CG still reaches the direct solution (cond ~1e2 here; the guard
+        keeps harder cases finite rather than exact)."""
+        from gogp_tpu.ops.iterative import cg_solve, pivoted_precond
+
+        rng = np.random.default_rng(5)
+        n = 256
+        xs = np.sort(rng.uniform(0, 10, n))
+        K = np.exp(-0.5 * (xs[:, None] - xs[None, :]) ** 2 / 4.0)
+        Kj = jnp.asarray(K + 1e-2 * np.eye(n), jnp.float32)
+        yv = jnp.asarray(rng.normal(size=n), jnp.float32)
+        pc = pivoted_precond(Kj, 32, 1e-2)
+        xsol, _ = cg_solve(Kj, yv, max_iters=500, tol=1e-6, precond=pc)
+        with jax.enable_x64(True):
+            direct = np.linalg.solve(np.asarray(Kj, np.float64), np.asarray(yv, np.float64))
+        rel = float(np.linalg.norm(np.asarray(xsol) - direct) / np.linalg.norm(direct))
+        assert rel < 5e-4, rel

@@ -10,9 +10,9 @@ work, and a block of probe vectors rides each matvec for free (the n x n
 HBM traffic dominates; extra right-hand sides are nearly free).  At n
 where the dense factorization's n^3 (or its Mosaic compile) hurts, ~30
 preconditioner-free CG iterations of n^2 each win; it also composes with
-row sharding — the matvec's rows split over the data axis and one psum
-completes each product (the far simpler distributed story than a blocked
-factorization).
+row sharding — the matvec's rows split over the data axis and one tiled
+all_gather replicates each product (the far simpler distributed story
+than a blocked factorization).
 
 Replaces (approximately) the same gonum calls as ops/linalg: Factorize /
 SolveVecTo / LogDet (reference gp/gp.go:228-250) — with a controlled,

@@ -590,6 +590,12 @@ def matfree_quadratic_forms(cov_rows_fn, n: int, panel: int,
     starts = jnp.arange(0, n, panel)
     p = Z.shape[1]
 
+    # checkpoint is what keeps this matrix-free under differentiation:
+    # without it, jax.grad through the lax.map saves every panel's
+    # (panel, n) rows as residuals — the entire K, several times over
+    # (measured 71 GB at n=65536/panel=4096).  Rematerializing the rows in
+    # the backward holds memory at O(panel * n), the module's contract.
+    @jax.checkpoint
     def one(row0):
         rows = cov_rows_fn(row0)  # (panel, n)
         a_rows = jax.lax.dynamic_slice_in_dim(alpha, row0, panel)

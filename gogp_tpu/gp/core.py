@@ -160,7 +160,8 @@ def lml_from_posterior(post: Posterior) -> Array:
     return -0.5 * (n_eff * _LOG_2PI + logdet + quad)
 
 
-def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Array:
+def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None,
+        precision: str | None = None) -> Array:
     """Log marginal likelihood at natural-scale hyperparameters.
 
     Unlike :func:`absorb` + :func:`lml_from_posterior`, this routes the
@@ -169,6 +170,16 @@ def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Array:
     the hot path of every optimizer and sampler step.  Padded rows are
     identity rows in K and zeros in y, so they contribute nothing to the
     core; only the 2pi constant needs the explicit mask count.
+
+    ``precision``: per-call matmul precision for the blocked linalg core
+    ("tensorfloat32"/"float32"/...), honored by both the forward and the
+    custom-VJP backward (linalg.lml_core docstring).  Use it for the
+    ill-conditioned regime below the size-gated NaN rescue — densely
+    sampled inputs at an optimized lengthscale put adjacent correlations
+    within bf16 resolution of 1.0 and the default one-pass-bf16 matmuls
+    (and even XLA's own AD path) NaN; "tensorfloat32" samples that
+    posterior at ~2x the default-precision step cost (measured, STATUS
+    round 2 large-n findings).  None = ambient default.
     """
     x, y = _as_xy(gp, x, y)
     n = x.shape[0]
@@ -181,7 +192,7 @@ def lml(gp: GP, theta_simil, theta_noise, x, y, mask=None) -> Array:
     y = y * mask
     K = masked_cov(gp, theta_simil, theta_noise, x, mask)
     n_eff = jnp.sum(mask)
-    return -0.5 * n_eff * _LOG_2PI + linalg.lml_core(K, y)
+    return -0.5 * n_eff * _LOG_2PI + linalg.lml_core(K, y, precision)
 
 
 def lml_iterative(

@@ -84,13 +84,19 @@ def gp_posterior(gp: GP, v: Array, x=None, y=None, mask=None) -> Posterior:
     return absorb(gp, p.theta_simil, p.theta_noise, x, y, mask)
 
 
-def gp_observe(gp: GP, v: Array, x=None, y=None, mask=None) -> Array:
+def gp_observe(gp: GP, v: Array, x=None, y=None, mask=None,
+               precision: str | None = None) -> Array:
     """Log marginal likelihood at a flat parameter vector — the reference
     ``GP.Observe`` (gp/gp.go:374-412).  Returns 0 with no observations.
 
     Differentiate with ``jax.grad`` to get the reference ``GP.Gradient``
     (gp/gp.go:418-499): gradients w.r.t. log-thetas, inputs, and outputs
     (the latter equal -alpha, :488-493) in one reverse pass.
+
+    ``precision``: per-call matmul precision for the blocked linalg core,
+    reaching forward AND backward (gp.core.lml docstring) — the surface
+    for the dense-data/optimized-theta regime where default one-pass-bf16
+    matmuls NaN below the size-gated rescue.
     """
     p = split_params(gp, v)
     if p.x is not None:
@@ -99,13 +105,18 @@ def gp_observe(gp: GP, v: Array, x=None, y=None, mask=None) -> Array:
         return jnp.asarray(0.0, dtype=jnp.asarray(v).dtype)
     # routes through linalg.lml_core — the fused factorize/solve/logdet
     # with analytic pullback on TPU (gp.core.lml docstring)
-    return lml(gp, p.theta_simil, p.theta_noise, x, y, mask)
+    return lml(gp, p.theta_simil, p.theta_noise, x, y, mask,
+               precision=precision)
 
 
-def make_gp_logp(gp: GP, x=None, y=None, mask=None):
-    """Close over static data: returns ``logp(v) -> scalar``."""
+def make_gp_logp(gp: GP, x=None, y=None, mask=None,
+                 precision: str | None = None):
+    """Close over static data: returns ``logp(v) -> scalar``.
+
+    ``precision`` pins the linalg core's matmul precision for every call
+    (see :func:`gp_observe`)."""
 
     def logp(v):
-        return gp_observe(gp, v, x=x, y=y, mask=mask)
+        return gp_observe(gp, v, x=x, y=y, mask=mask, precision=precision)
 
     return logp

@@ -116,15 +116,18 @@ def disable_pallas():
 # kernel-internal dots pin an explicit level via ``_kernel_precision``.
 
 
-def _kernel_precision():
-    """Mosaic-supported dot precision matching the ambient default.
+def _kernel_precision(precision: str | None = None):
+    """Mosaic-supported dot precision for kernel-internal dots.
 
-    ``jax.default_matmul_precision("tensorfloat32"|"float32")`` maps to
-    HIGH/HIGHEST, which Mosaic rejects / honors respectively — pin DEFAULT
-    unless the user asked for more, then give them HIGHEST.
+    An explicit per-call ``precision`` wins; otherwise the ambient
+    ``jax.default_matmul_precision`` is read at trace time.
+    "tensorfloat32"/"float32" map to HIGH/HIGHEST, which Mosaic rejects /
+    honors respectively — pin DEFAULT unless more was asked for, then give
+    HIGHEST.
     """
-    prec = jax.config.jax_default_matmul_precision
-    if prec in (None, "bfloat16", "default"):
+    if precision is None:
+        precision = jax.config.jax_default_matmul_precision
+    if precision in (None, "bfloat16", "default", "fastest"):
         return jax.lax.Precision.DEFAULT
     return jax.lax.Precision.HIGHEST
 
@@ -141,7 +144,7 @@ def force_interpret():
         _INTERPRET = prev
 
 
-def _chol_kernel(a_ref, l_ref, m_ref):
+def _chol_kernel(a_ref, l_ref, m_ref, *, precision=None):
     """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower (MXU rank-8).
 
     Panel (rank-8) formulation: the tile is factored eight columns at a
@@ -161,7 +164,7 @@ def _chol_kernel(a_ref, l_ref, m_ref):
     """
     n = a_ref.shape[0]
     dtype = a_ref.dtype
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     m_ref[:] = a_ref[:]
@@ -200,11 +203,11 @@ def _chol_kernel(a_ref, l_ref, m_ref):
     jax.lax.fori_loop(0, n // 8, panel, 0)
 
 
-def pallas_cholesky_tile(a: Array) -> Array:
+def pallas_cholesky_tile(a: Array, precision: str | None = None) -> Array:
     """Cholesky of one VMEM-sized tile via the Pallas kernel."""
     n = a.shape[-1]
     return pl.pallas_call(
-        _chol_kernel,
+        functools.partial(_chol_kernel, precision=precision),
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -217,7 +220,7 @@ def pallas_cholesky_tile(a: Array) -> Array:
     )(a)
 
 
-def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
+def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref, *, precision=None):
     """Fused tile Cholesky + triangular inverse: L = chol(A), V = inv(L).
 
     Same rank-8 panel scheme as ``_chol_kernel``; the inverse rides along
@@ -231,7 +234,7 @@ def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
     """
     n = a_ref.shape[0]
     dtype = a_ref.dtype
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     m_ref[:] = a_ref[:]
@@ -281,11 +284,13 @@ def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref):
     jax.lax.fori_loop(0, n // 8, panel, 0)
 
 
-def pallas_cholesky_inv_tile(a: Array) -> tuple[Array, Array]:
+def pallas_cholesky_inv_tile(
+    a: Array, precision: str | None = None
+) -> tuple[Array, Array]:
     """(L, inv(L)) of one VMEM-sized tile in a single Pallas program."""
     n = a.shape[-1]
     L, V = pl.pallas_call(
-        _chol_inv_kernel,
+        functools.partial(_chol_inv_kernel, precision=precision),
         out_shape=(
             jax.ShapeDtypeStruct(a.shape, a.dtype),
             jax.ShapeDtypeStruct(a.shape, a.dtype),
@@ -305,7 +310,7 @@ def pallas_cholesky_inv_tile(a: Array) -> tuple[Array, Array]:
     return L, V
 
 
-def _tril_inv_kernel(l_ref, v_ref):
+def _tril_inv_kernel(l_ref, v_ref, *, precision=None):
     """V = inv(L) for a lower-triangular VMEM tile, rank-8 panels.
 
     Forward substitution eight rows at a time: T = E_slab - L_slab @ V
@@ -315,7 +320,7 @@ def _tril_inv_kernel(l_ref, v_ref):
     """
     n = l_ref.shape[0]
     dtype = l_ref.dtype
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     v_ref[:] = jnp.zeros_like(l_ref)
@@ -346,11 +351,11 @@ def _tril_inv_kernel(l_ref, v_ref):
     jax.lax.fori_loop(0, n // 8, panel, 0)
 
 
-def pallas_tril_inv_tile(L: Array) -> Array:
+def pallas_tril_inv_tile(L: Array, precision: str | None = None) -> Array:
     """inv(L) of one lower-triangular VMEM-sized tile."""
     n = L.shape[-1]
     return pl.pallas_call(
-        _tril_inv_kernel,
+        functools.partial(_tril_inv_kernel, precision=precision),
         out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -369,7 +374,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _inv_lower(Lkk: Array) -> Array:
+def _inv_lower(Lkk: Array, precision: str | None = None) -> Array:
     """inv(Lkk) for a small lower-triangular tile.
 
     Pallas substitution kernel on TPU (and under force_interpret); XLA
@@ -377,12 +382,14 @@ def _inv_lower(Lkk: Array) -> Array:
     dominate the blocked drivers' non-matmul time.
     """
     if _INTERPRET or _on_tpu():
-        return pallas_tril_inv_tile(Lkk)
+        return pallas_tril_inv_tile(Lkk, precision)
     eye = jnp.eye(Lkk.shape[-1], dtype=Lkk.dtype)
     return jax.scipy.linalg.solve_triangular(Lkk, eye, lower=True)
 
 
-def blocked_cholesky_invs(K: Array, block: int = DEFAULT_BLOCK) -> tuple[Array, Array]:
+def blocked_cholesky_invs(
+    K: Array, block: int = DEFAULT_BLOCK, precision: str | None = None
+) -> tuple[Array, Array]:
     """Right-looking blocked Cholesky, statically unrolled block columns.
 
     Returns ``(L, invs)`` where ``invs`` is the (nb, block, block) stack of
@@ -412,17 +419,17 @@ def blocked_cholesky_invs(K: Array, block: int = DEFAULT_BLOCK) -> tuple[Array, 
             # one Pallas program yields both the factor and its inverse —
             # the panel TRSM becomes a plain MXU matmul, no XLA
             # triangular solve anywhere in the factorization
-            Lkk, inv = pallas_cholesky_inv_tile(diag)
+            Lkk, inv = pallas_cholesky_inv_tile(diag, precision)
         else:
-            Lkk = pallas_cholesky_tile(diag)
-            inv = _inv_lower(Lkk)
+            Lkk = pallas_cholesky_tile(diag, precision)
+            inv = _inv_lower(Lkk, precision)
         invs.append(inv)
         L = L.at[c0:c1, c0:c1].set(Lkk)
         if c1 == n:
             break
         panel = jax.lax.dot_general(
             A[c1:, c0:c1], inv, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype,
+            preferred_element_type=dtype, precision=precision,
         )  # (n-c1, block) = A_panel @ inv^T
         L = L.at[c1:, c0:c1].set(panel)
         if nb <= 16:
@@ -435,23 +442,25 @@ def blocked_cholesky_invs(K: Array, block: int = DEFAULT_BLOCK) -> tuple[Array, 
                 upd = jax.lax.dot_general(
                     panel[r0:], panel[r0:r0 + block],
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
+                    preferred_element_type=dtype, precision=precision,
                 )
                 A = A.at[j * block:, j * block:(j + 1) * block].add(-upd)
         else:
             A = A.at[c1:, c1:].add(
                 -jax.lax.dot_general(
                     panel, panel, (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
+                    preferred_element_type=dtype, precision=precision,
                 )
             )
     return L, jnp.stack(invs)
 
 
-def blocked_cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
+def blocked_cholesky(
+    K: Array, block: int = DEFAULT_BLOCK, precision: str | None = None
+) -> Array:
     """Lower Cholesky factor via the blocked driver (see
     :func:`blocked_cholesky_invs`)."""
-    return blocked_cholesky_invs(K, block)[0]
+    return blocked_cholesky_invs(K, block, precision)[0]
 
 
 # Unrolled block loops above this many steps produce HLO big enough to
@@ -475,7 +484,7 @@ _MAX_UNROLL_STEPS = 24
 # ---------------------------------------------------------------------------
 
 
-def _trsv_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
+def _trsv_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref, *, precision=None):
     """Grid step k: solve rows [k b, (k+1) b) given the solved prefix."""
     k = pl.program_id(0)
     block = y_ref.shape[0]
@@ -487,7 +496,7 @@ def _trsv_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
     hist = jnp.where(col_ids < c0, panel_ref[:], 0.0)
     resid = y_ref[:] - jax.lax.dot_general(
         hist, acc_ref[:], (((1,), (0,)), ((), ())),
@@ -501,7 +510,7 @@ def _trsv_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
     x_ref[:] = xk
 
 
-def _trsv_t_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
+def _trsv_t_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref, *, precision=None):
     """Transpose solve, bottom-up: grid step t handles block nb-1-t."""
     t = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -516,7 +525,7 @@ def _trsv_t_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # panel_ref = L[:, c0:c1]; contribution of solved rows > c1
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
     hist = jnp.where(row_ids >= c0 + block, panel_ref[:], 0.0)
     resid = y_ref[:] - jax.lax.dot_general(
         hist, acc_ref[:], (((0,), (0,)), ((), ())),
@@ -530,7 +539,9 @@ def _trsv_t_kernel(y_ref, panel_ref, inv_ref, x_ref, acc_ref):
     x_ref[:] = xk
 
 
-def pallas_trsv_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
+def pallas_trsv_lower(
+    L: Array, y: Array, invs: Array, block: int, precision: str | None = None
+) -> Array:
     """x = L^{-1} y (vector), one streaming Pallas program.
 
     ``invs``: (nb, block, block) tile inverses of the diagonal blocks.
@@ -539,7 +550,7 @@ def pallas_trsv_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
     nb = n // block
     y2 = y[:, None]
     out = pl.pallas_call(
-        _trsv_kernel,
+        functools.partial(_trsv_kernel, precision=precision),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block, 1), lambda k: (k, 0), memory_space=pltpu.VMEM),
@@ -557,13 +568,15 @@ def pallas_trsv_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
     return out[:, 0]
 
 
-def pallas_trsv_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
+def pallas_trsv_lower_t(
+    L: Array, y: Array, invs: Array, block: int, precision: str | None = None
+) -> Array:
     """x = L^{-T} y (vector), streaming bottom-up."""
     n = L.shape[-1]
     nb = n // block
     y2 = y[:, None]
     out = pl.pallas_call(
-        _trsv_t_kernel,
+        functools.partial(_trsv_t_kernel, precision=precision),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block, 1), lambda t, nb=nb: (nb - 1 - t, 0), memory_space=pltpu.VMEM),
@@ -593,13 +606,13 @@ def _tri_kj(t):
     return k, j
 
 
-def _trsv2d_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
+def _trsv2d_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref, *, precision=None):
     """Triangular-grid streaming forward TRSV: step t visits lower-triangle
     block (k, j); j < k accumulates L[k,j] @ x[j], j == k solves."""
     t = pl.program_id(0)
     k, j = _tri_kj(t)
     block = y_ref.shape[0]
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
 
     @pl.when(j == 0)
     def _():
@@ -623,7 +636,7 @@ def _trsv2d_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
         x_ref[:] = xk
 
 
-def _trsv2d_t_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
+def _trsv2d_t_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref, *, precision=None):
     """Triangular-grid transpose TRSV, bottom-up: row k (descending) needs
     L[j, k]^T @ x[j] for j > k (descending), then the inv^T solve."""
     t = pl.program_id(0)
@@ -632,7 +645,7 @@ def _trsv2d_t_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
     kp, jp = _tri_kj(t)
     k = nb - 1 - kp
     j = nb - 1 - jp
-    prec = _kernel_precision()
+    prec = _kernel_precision(precision)
 
     @pl.when(jp == 0)
     def _():
@@ -656,7 +669,9 @@ def _trsv2d_t_kernel(y_ref, lblk_ref, inv_ref, x_ref, acc_ref, xs_ref):
         x_ref[:] = xk
 
 
-def pallas_trsv2d_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
+def pallas_trsv2d_lower(
+    L: Array, y: Array, invs: Array, block: int, precision: str | None = None
+) -> Array:
     """x = L^{-1} y over a TRIANGULAR grid of (block, block) tiles.
 
     Unlike :func:`pallas_trsv_lower` (whole (block, n) panels resident,
@@ -682,7 +697,7 @@ def pallas_trsv2d_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
         return (k, 0, 0)
 
     out = pl.pallas_call(
-        _trsv2d_kernel,
+        functools.partial(_trsv2d_kernel, precision=precision),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((block, 1), row_idx, memory_space=pltpu.VMEM),
@@ -701,7 +716,9 @@ def pallas_trsv2d_lower(L: Array, y: Array, invs: Array, block: int) -> Array:
     return out[:, 0]
 
 
-def pallas_trsv2d_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
+def pallas_trsv2d_lower_t(
+    L: Array, y: Array, invs: Array, block: int, precision: str | None = None
+) -> Array:
     """x = L^{-T} y over a triangular tile grid, bottom-up (see
     :func:`pallas_trsv2d_lower`)."""
     n = L.shape[-1]
@@ -722,7 +739,7 @@ def pallas_trsv2d_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
         return (nb - 1 - kp, 0, 0)
 
     out = pl.pallas_call(
-        _trsv2d_t_kernel,
+        functools.partial(_trsv2d_t_kernel, precision=precision),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((block, 1), row_idx, memory_space=pltpu.VMEM),
@@ -741,7 +758,7 @@ def pallas_trsv2d_lower_t(L: Array, y: Array, invs: Array, block: int) -> Array:
     return out[:, 0]
 
 
-def _tile_invs(L: Array, block: int) -> Array:
+def _tile_invs(L: Array, block: int, precision: str | None = None) -> Array:
     """(nb, block, block) stack of inv(L_kk) diagonal-tile inverses."""
     n = L.shape[-1]
     nb = n // block
@@ -749,26 +766,28 @@ def _tile_invs(L: Array, block: int) -> Array:
     if block % 8 == 0 and (_INTERPRET or _on_tpu()):
         # vmapped pallas tile: batching maps the grid (the kernel's rank-8
         # slabs need block to be a multiple of 8)
-        return jax.vmap(pallas_tril_inv_tile)(tiles)
+        return jax.vmap(lambda t: pallas_tril_inv_tile(t, precision))(tiles)
     eye = jnp.eye(block, dtype=L.dtype)
     return jax.vmap(lambda t: jax.scipy.linalg.solve_triangular(t, eye, lower=True))(tiles)
 
 
-def _trsm_lower_fori(L: Array, B: Array, block: int) -> Array:
+def _trsm_lower_fori(
+    L: Array, B: Array, block: int, precision: str | None = None
+) -> Array:
     """fori_loop trailing-update forward substitution (compile-size-safe
     for large nb at the cost of masked full-width row reads)."""
     n = L.shape[-1]
     nb = n // block
-    invs = _tile_invs(L, block)
+    invs = _tile_invs(L, block, precision)
 
     def step(k, carry):
         resid, X = carry
         c0 = k * block
         rhs = jax.lax.dynamic_slice(resid, (c0, 0), (block, B.shape[1]))
-        xk = invs[k] @ rhs
+        xk = jnp.matmul(invs[k], rhs, precision=precision)
         # trailing update: rows above c0+block see zero L columns
         L_cols = jax.lax.dynamic_slice(L, (0, c0), (n, block))
-        resid = resid - L_cols @ xk
+        resid = resid - jnp.matmul(L_cols, xk, precision=precision)
         X = jax.lax.dynamic_update_slice(X, xk, (c0, 0))
         return resid, X
 
@@ -776,21 +795,23 @@ def _trsm_lower_fori(L: Array, B: Array, block: int) -> Array:
     return X
 
 
-def _trsm_lower_t_fori(L: Array, B: Array, block: int) -> Array:
+def _trsm_lower_t_fori(
+    L: Array, B: Array, block: int, precision: str | None = None
+) -> Array:
     """fori_loop transpose solve, bottom-up."""
     n = L.shape[-1]
     nb = n // block
-    invs = _tile_invs(L, block)
+    invs = _tile_invs(L, block, precision)
 
     def step(t, carry):
         resid, X = carry
         k = nb - 1 - t
         c0 = k * block
         rhs = jax.lax.dynamic_slice(resid, (c0, 0), (block, B.shape[1]))
-        xk = invs[k].T @ rhs
+        xk = jnp.matmul(invs[k].T, rhs, precision=precision)
         # trailing update: resid[:c0+block] -= L[c0:c1, :].T rows' contribution
         L_rows = jax.lax.dynamic_slice(L, (c0, 0), (block, n))
-        resid = resid - L_rows.T @ xk
+        resid = resid - jnp.matmul(L_rows.T, xk, precision=precision)
         X = jax.lax.dynamic_update_slice(X, xk, (c0, 0))
         return resid, X
 
@@ -798,7 +819,9 @@ def _trsm_lower_t_fori(L: Array, B: Array, block: int) -> Array:
     return X
 
 
-def blocked_trsm_lower(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
+def blocked_trsm_lower(
+    L: Array, B: Array, block: int = DEFAULT_BLOCK, precision: str | None = None
+) -> Array:
     """X = L^{-1} B with L lower triangular, blocked.
 
     Per block row: X[k] = inv(Lkk) @ (B[k] - L[k, :k] @ X[:k]) — the
@@ -813,21 +836,23 @@ def blocked_trsm_lower(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
         raise ValueError(f"n={n} must be a multiple of block={block}")
     nb = n // block
     if B.ndim == 1:
-        return blocked_trsm_lower(L, B[:, None], block)[:, 0]
+        return blocked_trsm_lower(L, B[:, None], block, precision)[:, 0]
     if nb > _MAX_UNROLL_STEPS:
-        return _trsm_lower_fori(L, B, block)
+        return _trsm_lower_fori(L, B, block, precision)
     X = jnp.zeros_like(B)
     for k in range(nb):
         c0, c1 = k * block, (k + 1) * block
         rhs = B[c0:c1]
         if k > 0:
-            rhs = rhs - L[c0:c1, :c0] @ X[:c0]
-        inv = _inv_lower(L[c0:c1, c0:c1])
-        X = X.at[c0:c1].set(inv @ rhs)
+            rhs = rhs - jnp.matmul(L[c0:c1, :c0], X[:c0], precision=precision)
+        inv = _inv_lower(L[c0:c1, c0:c1], precision)
+        X = X.at[c0:c1].set(jnp.matmul(inv, rhs, precision=precision))
     return X
 
 
-def blocked_trsm_lower_t(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Array:
+def blocked_trsm_lower_t(
+    L: Array, B: Array, block: int = DEFAULT_BLOCK, precision: str | None = None
+) -> Array:
     """X = L^{-T} B (transpose solve), bottom-up; unroll policy as
     :func:`blocked_trsm_lower`."""
     n = L.shape[-1]
@@ -835,21 +860,23 @@ def blocked_trsm_lower_t(L: Array, B: Array, block: int = DEFAULT_BLOCK) -> Arra
         raise ValueError(f"n={n} must be a multiple of block={block}")
     nb = n // block
     if B.ndim == 1:
-        return blocked_trsm_lower_t(L, B[:, None], block)[:, 0]
+        return blocked_trsm_lower_t(L, B[:, None], block, precision)[:, 0]
     if nb > _MAX_UNROLL_STEPS:
-        return _trsm_lower_t_fori(L, B, block)
+        return _trsm_lower_t_fori(L, B, block, precision)
     X = jnp.zeros_like(B)
     for k in reversed(range(nb)):
         c0, c1 = k * block, (k + 1) * block
         rhs = B[c0:c1]
         if c1 < n:
-            rhs = rhs - L[c1:, c0:c1].T @ X[c1:]
-        inv = _inv_lower(L[c0:c1, c0:c1])
-        X = X.at[c0:c1].set(inv.T @ rhs)
+            rhs = rhs - jnp.matmul(L[c1:, c0:c1].T, X[c1:], precision=precision)
+        inv = _inv_lower(L[c0:c1, c0:c1], precision)
+        X = X.at[c0:c1].set(jnp.matmul(inv.T, rhs, precision=precision))
     return X
 
 
-def _tril_inv_fori(L: Array, block: int, invs: Array) -> Array:
+def _tril_inv_fori(
+    L: Array, block: int, invs: Array, precision: str | None = None
+) -> Array:
     """fori_loop blocked triangular inverse (compile-size-safe for large
     nb; masked full-width row reads like :func:`_trsm_lower_fori`)."""
     n = L.shape[-1]
@@ -860,7 +887,10 @@ def _tril_inv_fori(L: Array, block: int, invs: Array) -> Array:
         L_rows = jax.lax.dynamic_slice(L, (c0, 0), (block, n))
         # X rows >= c0 are still zero, so L_rows @ X picks up exactly
         # L[k, :k] @ W[:k]; W's triangularity keeps columns >= c0 zero
-        upd = -(invs[k] @ (L_rows @ X))
+        upd = -jnp.matmul(
+            invs[k], jnp.matmul(L_rows, X, precision=precision),
+            precision=precision,
+        )
         row = upd + jax.lax.dynamic_update_slice(
             jnp.zeros((block, n), L.dtype), invs[k], (0, c0)
         )
@@ -870,7 +900,10 @@ def _tril_inv_fori(L: Array, block: int, invs: Array) -> Array:
 
 
 def blocked_tril_inv(
-    L: Array, block: int = DEFAULT_BLOCK, invs: Array | None = None
+    L: Array,
+    block: int = DEFAULT_BLOCK,
+    invs: Array | None = None,
+    precision: str | None = None,
 ) -> Array:
     """W = inv(L) for lower-triangular L, exploiting W's triangularity.
 
@@ -885,14 +918,18 @@ def blocked_tril_inv(
         raise ValueError(f"n={n} must be a multiple of block={block}")
     nb = n // block
     if invs is None:
-        invs = _tile_invs(L, block)
+        invs = _tile_invs(L, block, precision)
     if nb > _MAX_UNROLL_STEPS:
-        return _tril_inv_fori(L, block, invs)
+        return _tril_inv_fori(L, block, invs, precision)
     X = jnp.zeros_like(L)
     for k in range(nb):
         c0, c1 = k * block, (k + 1) * block
         if k > 0:
-            blk = -(invs[k] @ (L[c0:c1, :c0] @ X[:c0, :c0]))
+            blk = -jnp.matmul(
+                invs[k],
+                jnp.matmul(L[c0:c1, :c0], X[:c0, :c0], precision=precision),
+                precision=precision,
+            )
             X = X.at[c0:c1, :c0].set(blk)
         X = X.at[c0:c1, c0:c1].set(invs[k])
     return X
@@ -911,22 +948,28 @@ def _phi(A: Array) -> Array:
     return jnp.tril(A) - 0.5 * jnp.where(r == c, A, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def cholesky(K: Array, block: int = DEFAULT_BLOCK) -> Array:
-    return blocked_cholesky(K, block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def cholesky(
+    K: Array, block: int = DEFAULT_BLOCK, precision: str | None = None
+) -> Array:
+    return blocked_cholesky(K, block, precision)
 
 
-def _chol_fwd(K, block):
-    L = blocked_cholesky(K, block)
+def _chol_fwd(K, block, precision):
+    L = blocked_cholesky(K, block, precision)
     return L, L
 
 
-def _chol_bwd(block, L, Lbar):
+def _chol_bwd(block, precision, L, Lbar):
     # Murray (2016): K_bar = 0.5 * L^-T (Phi(L^T Lbar) + Phi(L^T Lbar)^T) L^-1
-    P = _phi(L.T @ Lbar)
+    # precision is a nondiff STATIC argument so this backward trace honors
+    # it — an ambient jax.default_matmul_precision context inside a
+    # differentiated caller does NOT reach here (the transpose is traced
+    # outside the caller's dynamic extent; verified by jaxpr inspection).
+    P = _phi(jnp.matmul(L.T, Lbar, precision=precision))
     # S = L^-T P: transpose-solve; then K_bar = S L^-1 = (L^-T S^T)^T
-    S = blocked_trsm_lower_t(L, P, block)
-    Kbar = blocked_trsm_lower_t(L, S.T, block).T
+    S = blocked_trsm_lower_t(L, P, block, precision)
+    Kbar = blocked_trsm_lower_t(L, S.T, block, precision).T
     Kbar = 0.5 * (Kbar + Kbar.T)
     return (Kbar,)
 
@@ -965,10 +1008,10 @@ def _eligible_block(K: Array) -> int | None:
     return DEFAULT_BLOCK
 
 
-def maybe_pallas_cholesky(K: Array):
+def maybe_pallas_cholesky(K: Array, precision: str | None = None):
     """Dispatch: the blocked Pallas path when it's profitable, else None."""
     block = _eligible_block(K)
-    return None if block is None else cholesky(K, block)
+    return None if block is None else cholesky(K, block, precision)
 
 
 # ---------------------------------------------------------------------------
@@ -985,8 +1028,8 @@ def maybe_pallas_cholesky(K: Array):
 # ---------------------------------------------------------------------------
 
 
-def _lml_core_impl(K: Array, y: Array, block: int):
-    L, invs = blocked_cholesky_invs(K, block)
+def _lml_core_impl(K: Array, y: Array, block: int, precision: str | None = None):
+    L, invs = blocked_cholesky_invs(K, block, precision)
     n = K.shape[-1]
     # streaming solves reuse the tile inverses the factorization already
     # produced.  The 1-D panel form keeps a (block, n) L panel in VMEM per
@@ -995,37 +1038,43 @@ def _lml_core_impl(K: Array, y: Array, block: int):
     # step (any n) and DMAs only the lower triangle.
     panel_bytes = block * n * K.dtype.itemsize
     if (block % 128 == 0 and panel_bytes <= 8 * 1024 * 1024) or _INTERPRET:
-        z = pallas_trsv_lower(L, y, invs, block)
-        alpha = pallas_trsv_lower_t(L, z, invs, block)
+        z = pallas_trsv_lower(L, y, invs, block, precision)
+        alpha = pallas_trsv_lower_t(L, z, invs, block, precision)
     elif block % 128 == 0:
-        z = pallas_trsv2d_lower(L, y, invs, block)
-        alpha = pallas_trsv2d_lower_t(L, z, invs, block)
+        z = pallas_trsv2d_lower(L, y, invs, block, precision)
+        alpha = pallas_trsv2d_lower_t(L, z, invs, block, precision)
     else:
-        z = blocked_trsm_lower(L, y, block)
-        alpha = blocked_trsm_lower_t(L, z, block)
+        z = blocked_trsm_lower(L, y, block, precision)
+        alpha = blocked_trsm_lower_t(L, z, block, precision)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     value = -0.5 * (logdet + jnp.dot(z, z))
     return value, (L, alpha, invs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def lml_core(K: Array, y: Array, block: int = DEFAULT_BLOCK) -> Array:
-    value, _ = _lml_core_impl(K, y, block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lml_core(
+    K: Array, y: Array, block: int = DEFAULT_BLOCK, precision: str | None = None
+) -> Array:
+    value, _ = _lml_core_impl(K, y, block, precision)
     return value
 
 
-def _lml_core_fwd(K, y, block):
-    return _lml_core_impl(K, y, block)
+def _lml_core_fwd(K, y, block, precision):
+    return _lml_core_impl(K, y, block, precision)
 
 
-def _lml_core_bwd(block, res, g):
+def _lml_core_bwd(block, precision, res, g):
     L, alpha, invs = res
     # K^-1 = W^T W with W = inv(L): one blocked triangular inverse
     # (~2n^3/3 FLOPs, reusing the factorization's tile inverses) plus one
     # dense MXU matmul — replaces two sequential full-width TRSMs.
-    W = blocked_tril_inv(L, block, invs)
+    # precision is a static argument precisely so THIS trace sees it: the
+    # backward is traced outside any ambient context a caller's function
+    # body established (see _chol_bwd note).
+    W = blocked_tril_inv(L, block, invs, precision)
     Kinv = jax.lax.dot_general(
-        W, W, (((0,), (0,)), ((), ())), preferred_element_type=W.dtype
+        W, W, (((0,), (0,)), ((), ())), preferred_element_type=W.dtype,
+        precision=precision,
     )
     Kbar = (0.5 * g) * (jnp.outer(alpha, alpha) - Kinv)
     ybar = -g * alpha
@@ -1035,9 +1084,9 @@ def _lml_core_bwd(block, res, g):
 lml_core.defvjp(_lml_core_fwd, _lml_core_bwd)
 
 
-def maybe_lml_core(K: Array, y: Array):
+def maybe_lml_core(K: Array, y: Array, precision: str | None = None):
     """Dispatch the fused lml core when the blocked path qualifies."""
     if y.ndim != 1:
         return None
     block = _eligible_block(K)
-    return None if block is None else lml_core(K, y, block)
+    return None if block is None else lml_core(K, y, block, precision)

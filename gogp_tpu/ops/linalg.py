@@ -83,30 +83,44 @@ def no_precision_rescue():
         _RESCUE = prev
 
 
-def _rescue_engaged(n: int) -> bool:
+def _rescue_engaged(n: int, precision: str | None = None) -> bool:
+    if precision is None:
+        precision = jax.config.jax_default_matmul_precision
     return (
         _RESCUE
         and n >= _RESCUE_MIN_N
-        and jax.config.jax_default_matmul_precision in (None, "bfloat16", "default")
+        and precision in (None, "bfloat16", "default", "fastest")
     )
 
 
-def cholesky(K: Array) -> Array:
+def cholesky(K: Array, precision: str | None = None) -> Array:
     """Lower Cholesky factor of an SPD matrix.
 
     Dispatches to the Pallas blocked kernel on TPU for sizes where it wins
     (see gogp_tpu.ops.cholesky_pallas.maybe_pallas_cholesky); XLA otherwise.
+
+    ``precision``: explicit matmul precision for the blocked drivers'
+    structural matmuls ("default" | "bfloat16" | "tensorfloat32" |
+    "float32" | "highest").  Unlike the ambient
+    ``jax.default_matmul_precision`` context — which only reaches the
+    BACKWARD of this custom-VJP op when the context encloses the whole
+    trace, not when a differentiated caller sets it in its own body — a
+    per-call precision is threaded as a static argument through both
+    forward and backward.  None = the ambient default.  The XLA fallback
+    ignores it (XLA's own Cholesky pins high precision internally).
     """
     if not _FORCE_XLA:
         from gogp_tpu.ops.cholesky_pallas import maybe_pallas_cholesky
 
-        out = maybe_pallas_cholesky(K)
+        out = maybe_pallas_cholesky(K, precision)
         if out is not None:
-            if _rescue_engaged(K.shape[-1]):
+            if _rescue_engaged(K.shape[-1], precision):
 
                 def hi(K):
-                    with jax.default_matmul_precision("float32"):
-                        return maybe_pallas_cholesky(K)
+                    # explicit precision so the rescue branch's BACKWARD
+                    # dots also run at float32 (an ambient context here
+                    # would cover only the forward trace)
+                    return maybe_pallas_cholesky(K, "float32")
 
                 ok = jnp.all(jnp.isfinite(jnp.diagonal(out)))
                 return jax.lax.cond(ok, lambda K: out, hi, K)
@@ -115,7 +129,10 @@ def cholesky(K: Array) -> Array:
 
 
 def cholesky_with_jitter(
-    K: Array, max_tries: int = 5, initial_jitter: float = 1e-8
+    K: Array,
+    max_tries: int = 5,
+    initial_jitter: float = 1e-8,
+    precision: str | None = None,
 ) -> tuple[Array, Array]:
     """Cholesky with escalating diagonal jitter — the failure-detection path.
 
@@ -145,17 +162,17 @@ def cholesky_with_jitter(
     def body(state):
         t, _, _ = state
         jitter = scale * (10.0 ** t.astype(K.dtype))
-        L = cholesky(K + jitter * eye)
+        L = cholesky(K + jitter * eye, precision)
         return t + 1, L, jitter
 
-    L0 = cholesky(K)
+    L0 = cholesky(K, precision)
     _, L, jitter = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), L0, jnp.asarray(0.0, K.dtype))
     )
     return L, jitter
 
 
-def lml_core(K: Array, y: Array) -> Array:
+def lml_core(K: Array, y: Array, precision: str | None = None) -> Array:
     """-1/2 (log|K| + y^T K^-1 y) — the data-dependent part of the GP log
     marginal likelihood (GPML eq. 5.8; reference gp/gp.go:244-253 minus the
     2pi constant).
@@ -165,17 +182,25 @@ def lml_core(K: Array, y: Array) -> Array:
     Kbar = g/2 (aa^T - K^-1) — about 2x faster end-to-end than
     differentiating through the XLA Cholesky.  Elsewhere it is the plain
     XLA computation, differentiated by jax.
+
+    ``precision``: explicit per-call matmul precision for the blocked
+    drivers, reaching both forward AND backward traces (see
+    :func:`cholesky`).  "tensorfloat32" is the measured sweet spot for
+    ill-conditioned covariances (dense inputs at optimized lengthscales)
+    below the size-gated NaN rescue: XLA-path accuracy at ~2x default-
+    precision cost, still ~2.7x faster than XLA-AD at n=4096.
     """
     if not _FORCE_XLA:
         from gogp_tpu.ops.cholesky_pallas import maybe_lml_core
 
-        out = maybe_lml_core(K, y)
+        out = maybe_lml_core(K, y, precision)
         if out is not None:
-            if _rescue_engaged(K.shape[-1]):
+            if _rescue_engaged(K.shape[-1], precision):
 
                 def hi(ops):
-                    with jax.default_matmul_precision("float32"):
-                        return maybe_lml_core(*ops)
+                    # explicit precision: covers the rescue branch's
+                    # backward too (ambient context would not)
+                    return maybe_lml_core(*ops, "float32")
 
                 return jax.lax.cond(
                     jnp.isfinite(out), lambda ops: out, hi, (K, y)

@@ -335,3 +335,87 @@ class TestPrecisionRescue:
         with jax.default_matmul_precision("float32"):
             assert not linalg._rescue_engaged(1 << 20)
         assert linalg._rescue_engaged(1 << 20)
+
+
+class TestExplicitPrecisionArg:
+    """Per-call ``precision=`` threads as a STATIC argument through the
+    blocked drivers' custom_vjps — the surface for the dense-data/
+    optimized-theta regime (STATUS round-2 large-n findings) where the
+    default one-pass-bf16 matmuls NaN below the size-gated rescue.  The
+    ambient jax.default_matmul_precision context only reaches a custom-VJP
+    backward when it encloses the WHOLE trace; set inside a differentiated
+    function's body it covers the forward only (verified by jaxpr below).
+    The explicit argument covers both."""
+
+    def test_value_and_grad_unchanged(self):
+        K = spd(128, seed=40)
+        y = jnp.asarray(np.random.default_rng(41).normal(size=128))
+
+        with linalg.force_xla():
+            want_v, want_g = jax.value_and_grad(lambda K: linalg.lml_core(K, y))(K)
+        with cp.force_interpret():
+            got_v, got_g = jax.value_and_grad(
+                lambda K: linalg.lml_core(K, y, precision="float32")
+            )(K)
+        assert np.isclose(float(got_v), float(want_v), atol=1e-8)
+        assert np.allclose(np.asarray(got_g), np.asarray(want_g), atol=1e-8)
+
+    def test_cholesky_precision_arg(self):
+        K = spd(96, seed=42)
+        with cp.force_interpret():
+            L = np.asarray(
+                jnp.tril(linalg.cholesky(K, precision="tensorfloat32"))
+            )
+        assert np.allclose(L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-10)
+
+    def test_explicit_precision_reaches_backward_trace(self):
+        # structural: grad of lml_core with explicit precision="float32"
+        # emits strictly more HIGHEST-precision dots than the same grad
+        # with an ambient context set inside the differentiated body —
+        # because the latter misses the custom-VJP backward entirely.
+        K = spd(64, seed=43, dtype=jnp.float32)
+        y = jnp.asarray(
+            np.random.default_rng(44).normal(size=64), dtype=jnp.float32
+        )
+
+        def explicit(K):
+            return cp.lml_core(K, y, 32, "float32")
+
+        def ambient_in_body(K):
+            with jax.default_matmul_precision("float32"):
+                return cp.lml_core(K, y, 32)
+
+        jx_explicit = str(jax.make_jaxpr(jax.grad(explicit))(K))
+        jx_ambient = str(jax.make_jaxpr(jax.grad(ambient_in_body))(K))
+        n_exp = jx_explicit.count("HIGHEST")
+        n_amb = jx_ambient.count("HIGHEST")
+        assert n_amb > 0  # forward trace does see the body context
+        assert n_exp > n_amb  # backward additionally honors the argument
+
+    def test_gp_observe_precision_kwarg(self):
+        from gogp_tpu.gp.core import GP
+        from gogp_tpu.kernels import rbf, uniform_noise
+        from gogp_tpu.models.params import gp_observe
+
+        gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(45)
+        x = jnp.asarray(np.sort(rng.uniform(0, 10, (64, 1)), axis=0))
+        y = jnp.asarray(np.sin(np.asarray(x[:, 0])))
+        v = jnp.zeros(gp.n_theta)
+
+        want_v, want_g = jax.value_and_grad(
+            lambda v: gp_observe(gp, v, x=x, y=y)
+        )(v)
+        with cp.force_interpret():
+            got_v, got_g = jax.value_and_grad(
+                lambda v: gp_observe(gp, v, x=x, y=y, precision="float32")
+            )(v)
+        assert np.isclose(float(got_v), float(want_v), atol=1e-8)
+        assert np.allclose(np.asarray(got_g), np.asarray(want_g), atol=1e-7)
+
+    def test_rescue_skipped_at_explicit_high_precision(self):
+        # an explicit high precision leaves no headroom to escalate into:
+        # the dispatch must not wrap a cond
+        assert not linalg._rescue_engaged(1 << 20, "float32")
+        assert not linalg._rescue_engaged(1 << 20, "tensorfloat32")
+        assert linalg._rescue_engaged(1 << 20, "default")

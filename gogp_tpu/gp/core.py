@@ -267,6 +267,31 @@ def _cov_rows_fn(gp: GP, theta_simil, theta_noise, x, mask, panel: int):
     return rows_at
 
 
+def _cov_col_fn(gp: GP, theta_simil, theta_noise, x, mask):
+    """Column i of masked_cov, built on the fly — one (n,) kernel-column
+    evaluation (the matrix-free preconditioner's unit of work: rank
+    columns total, never a dense K)."""
+    n = x.shape[0]
+
+    def col_at(i):
+        xi = jax.lax.dynamic_slice_in_dim(x, i, 1, 0)  # (1, d)
+        col = gp.simil.matrix(theta_simil, x, xi)[:, 0]  # (n,)
+        ei = (jnp.arange(n) == i).astype(col.dtype)
+        col = col + gp.noise.vector(theta_noise, xi)[0] * ei
+        mi = jax.lax.dynamic_slice_in_dim(mask, i, 1, 0)[0]
+        col = col * (mask * mi)
+        return col + (1.0 - mi) * ei
+
+    return col_at
+
+
+def _cov_diag(gp: GP, theta_simil, theta_noise, x, mask):
+    """Diagonal of masked_cov: simil diag + noise where live, 1 where
+    padded (identity rows)."""
+    d = gp.simil.diag_matrix(theta_simil, x) + gp.noise.vector(theta_noise, x)
+    return d * mask + (1.0 - mask)
+
+
 def lml_iterative_matfree(
     gp: GP,
     theta_simil,
@@ -279,6 +304,7 @@ def lml_iterative_matfree(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
 ) -> Array:
     """Matrix-free LML with K never materialized: O(panel * n) memory.
 
@@ -292,6 +318,12 @@ def lml_iterative_matfree(
     matfree_quadratic_forms), so no (n, n) object exists in the backward
     either.  Same estimator contract (and same probes, given the same
     key) as :func:`lml_iterative`.
+
+    ``precond_rank > 0`` enables the pivoted-Cholesky PCG + preconditioned
+    SLQ, with the preconditioner itself built matrix-free from
+    ``precond_rank`` kernel-column evaluations (:func:`_cov_col_fn`) and
+    the GP's own noise diagonal — the full ill-conditioned-regime rescue
+    of :func:`lml_iterative` without ever materializing K.
     """
     from gogp_tpu.ops import iterative
 
@@ -305,18 +337,30 @@ def lml_iterative_matfree(
         mask = jnp.asarray(mask, dtype=x.dtype)
     y = y * mask
 
+    def _pc_kwargs(ts, tn):
+        if precond_rank <= 0:
+            return {}
+        return dict(
+            precond_rank=precond_rank,
+            cov_col_fn=_cov_col_fn(gp, ts, tn, x, mask),
+            cov_diag=_cov_diag(gp, ts, tn, x, mask),
+            noise_diag=gp.noise.vector(tn, x) * mask + (1.0 - mask),
+        )
+
     @jax.custom_vjp
     def core(ts, tn, yv):
         rows_fn = _cov_rows_fn(gp, ts, tn, x, mask, panel)
         value, _ = iterative.lml_matfree(
-            rows_fn, yv, key, panel, num_probes, cg_iters, lanczos_iters
+            rows_fn, yv, key, panel, num_probes, cg_iters, lanczos_iters,
+            **_pc_kwargs(ts, tn),
         )
         return value
 
     def fwd(ts, tn, yv):
         rows_fn = _cov_rows_fn(gp, ts, tn, x, mask, panel)
         value, aux = iterative.lml_matfree(
-            rows_fn, yv, key, panel, num_probes, cg_iters, lanczos_iters
+            rows_fn, yv, key, panel, num_probes, cg_iters, lanczos_iters,
+            **_pc_kwargs(ts, tn),
         )
         return value, (ts, tn, aux)
 

@@ -119,25 +119,27 @@ def cg_solve(
     return (X[:, 0] if squeeze else X), iters
 
 
-def pivoted_cholesky(K: Array, rank: int, shift: Array | float = 0.0) -> Array:
-    """Partial pivoted Cholesky: L (n, rank) with K - shift*I ~= L L^T.
+def pivoted_cholesky_cols(col_fn, d0: Array, rank: int) -> Array:
+    """Partial pivoted Cholesky from a COLUMN ACCESSOR: L (n, rank) with
+    target ~= L L^T, where ``col_fn(i) -> (n,)`` returns column i of the
+    target matrix and ``d0`` is its (n,) diagonal.
 
     Greedy residual-diagonal pivoting (Harbrecht et al.) — the standard
     low-rank capture of a smooth kernel matrix's fast-decaying spectrum.
-    ``shift`` removes a known diagonal (noise/jitter) from the pivoting
-    target so the columns chase the signal part.  O(n * rank^2), fully
-    jittable (dynamic pivots are gathers).
+    This is the matrix-free / row-sharded form: the build touches only
+    ``rank`` columns (one kernel-row evaluation, or one all_gather of a
+    local column slice, each), never a dense K.  O(n * rank^2), fully
+    jittable (dynamic pivots are gathers); safe inside shard_map when
+    ``col_fn``'s collectives are — the pivot argmax runs on the replicated
+    residual diagonal, so every device picks the same columns.
     """
-    n = K.shape[-1]
-    d0 = jnp.diagonal(K) - shift
-    L0 = jnp.zeros((n, rank), K.dtype)
+    n = d0.shape[0]
+    L0 = jnp.zeros((n, rank), d0.dtype)
 
     def step(j, carry):
         L, d = carry
         i = jnp.argmax(d)
-        col = jnp.take(K, i, axis=1) - shift * (
-            jnp.arange(n) == i
-        ).astype(K.dtype)
+        col = col_fn(i)
         lj = (col - L @ L[i]) / jnp.sqrt(jnp.maximum(d[i], 1e-30))
         # a tiny/negative residual pivot means the rank is exhausted:
         # write a zero column instead of amplified noise
@@ -148,6 +150,23 @@ def pivoted_cholesky(K: Array, rank: int, shift: Array | float = 0.0) -> Array:
 
     L, _ = jax.lax.fori_loop(0, rank, step, (L0, d0))
     return L
+
+
+def pivoted_cholesky(K: Array, rank: int, shift: Array | float = 0.0) -> Array:
+    """Partial pivoted Cholesky: L (n, rank) with K - shift*I ~= L L^T.
+
+    ``shift`` removes a known diagonal (noise/jitter) from the pivoting
+    target so the columns chase the signal part.  Dense wrapper over
+    :func:`pivoted_cholesky_cols`.
+    """
+    n = K.shape[-1]
+
+    def col_fn(i):
+        return jnp.take(K, i, axis=1) - shift * (
+            jnp.arange(n) == i
+        ).astype(K.dtype)
+
+    return pivoted_cholesky_cols(col_fn, jnp.diagonal(K) - shift, rank)
 
 
 class PivotedPrecond:
@@ -196,6 +215,25 @@ def pivoted_precond(K: Array, rank: int, noise_diag: Array | float) -> PivotedPr
     n = K.shape[-1]
     dvec = jnp.broadcast_to(jnp.asarray(noise_diag, K.dtype), (n,))
     L = pivoted_cholesky(K, rank, shift=jnp.mean(dvec))
+    return PivotedPrecond(L, dvec)
+
+
+def pivoted_precond_cols(col_fn, diag: Array, rank: int, noise_diag) -> PivotedPrecond:
+    """Matrix-free :func:`pivoted_precond`: build P = L L^T + D from a
+    column accessor ``col_fn(i) -> (n,)`` (column i of K itself) and the
+    (n,) diagonal of K, without a dense K ever existing.  Identical math
+    to the dense builder — same shift (mean of ``noise_diag``), same
+    pivot sequence — so with matching columns the two produce the same
+    preconditioner bit-for-bit up to reassociation of the column source.
+    """
+    n = diag.shape[0]
+    dvec = jnp.broadcast_to(jnp.asarray(noise_diag, diag.dtype), (n,))
+    shift = jnp.mean(dvec)
+
+    def col_shifted(i):
+        return col_fn(i) - shift * (jnp.arange(n) == i).astype(diag.dtype)
+
+    L = pivoted_cholesky_cols(col_shifted, diag - shift, rank)
     return PivotedPrecond(L, dvec)
 
 
@@ -413,36 +451,76 @@ def lml_core_iterative(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _rows_mv_and_precond(K_rows, noise_diag, axis, precond_rank):
+    """The row-sharded matvec, plus (optionally) the pivoted-Cholesky
+    preconditioner built WITHOUT a dense K: column i of K is this device's
+    local column slice all_gathered (axis-index row order), the diagonal
+    likewise — ``rank`` gathers of (n,) floats total.  Every device builds
+    the identical (replicated) preconditioner, so PCG/quadrature control
+    flow stays replicated."""
+
+    def mv(V):
+        return jax.lax.all_gather(K_rows @ V, axis, tiled=True)
+
+    if precond_rank <= 0:
+        return mv, None
+    Kr = jax.lax.stop_gradient(K_rows)
+    n_local = Kr.shape[0]
+    row0 = jax.lax.axis_index(axis) * n_local
+    local_ids = jnp.arange(n_local)
+    local_diag = jnp.take_along_axis(
+        Kr, (row0 + local_ids)[:, None], axis=1
+    )[:, 0]
+    diag = jax.lax.all_gather(local_diag, axis, tiled=True)
+
+    def col_fn(i):
+        return jax.lax.all_gather(jnp.take(Kr, i, axis=1), axis, tiled=True)
+
+    pc = pivoted_precond_cols(
+        col_fn, diag, precond_rank, jax.lax.stop_gradient(noise_diag)
+    )
+    return mv, pc
+
+
+def _rows_logdet(mv, pc, probes_slq, lanczos_iters, precond_rank, n):
+    if precond_rank > 0:
+        return slq_logdet_pcg(
+            mv, pc, probes_slq[:, :n], probes_slq[:, n:], lanczos_iters
+        )
+    return slq_logdet(mv, probes_slq, lanczos_iters)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _lml_core_iter_rows(
     K_rows: Array,
     y: Array,
     probes_slq: Array,
     probes_tr: Array,
+    noise_diag: Array,
     axis: str,
     cg_iters: int,
     lanczos_iters: int,
+    precond_rank: int,
 ) -> Array:
-    def mv(V):
-        return jax.lax.all_gather(K_rows @ V, axis, tiled=True)
-
-    alpha, _ = cg_solve(mv, y, cg_iters)
-    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    mv, pc = _rows_mv_and_precond(K_rows, noise_diag, axis, precond_rank)
+    alpha, _ = cg_solve(mv, y, cg_iters, precond=pc)
+    logdet = _rows_logdet(mv, pc, probes_slq, lanczos_iters, precond_rank, y.shape[0])
     return -0.5 * (logdet + jnp.dot(y, alpha))
 
 
-def _lml_rows_fwd(K_rows, y, probes_slq, probes_tr, axis, cg_iters, lanczos_iters):
-    def mv(V):
-        return jax.lax.all_gather(K_rows @ V, axis, tiled=True)
-
-    X, _ = cg_solve(mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+def _lml_rows_fwd(K_rows, y, probes_slq, probes_tr, noise_diag,
+                  axis, cg_iters, lanczos_iters, precond_rank):
+    mv, pc = _rows_mv_and_precond(K_rows, noise_diag, axis, precond_rank)
+    X, _ = cg_solve(
+        mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters, precond=pc
+    )
     alpha, S = X[:, 0], X[:, 1:]
-    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    logdet = _rows_logdet(mv, pc, probes_slq, lanczos_iters, precond_rank, y.shape[0])
     value = -0.5 * (logdet + jnp.dot(y, alpha))
     return value, (alpha, probes_tr, S)
 
 
-def _lml_rows_bwd(axis, cg_iters, lanczos_iters, res, g):
+def _lml_rows_bwd(axis, cg_iters, lanczos_iters, precond_rank, res, g):
     alpha, Z, S = res
     p = Z.shape[1]
     n_local = None  # resolved from the cotangent row count below
@@ -463,8 +541,10 @@ def _lml_rows_bwd(axis, cg_iters, lanczos_iters, res, g):
     trace_rows = (Z_rows @ S.T + S_rows @ Z.T) / (2.0 * p)
     Kbar_rows = (0.5 * g) * (jnp.outer(a_rows, alpha) - trace_rows)
     ybar = -g * alpha
-    zbar_slq = jnp.zeros((p, n), Z.dtype)
-    return Kbar_rows, ybar, zbar_slq, jnp.zeros_like(Z)
+    # preconditioned probes carry rank extra N(0,1) seed columns; the
+    # probes and the preconditioner diagonal are estimator constants
+    zbar_slq = jnp.zeros((p, n + max(precond_rank, 0)), Z.dtype)
+    return Kbar_rows, ybar, zbar_slq, jnp.zeros_like(Z), jnp.zeros((n,), Z.dtype)
 
 
 _lml_core_iter_rows.defvjp(_lml_rows_fwd, _lml_rows_bwd)
@@ -478,6 +558,8 @@ def lml_rowsharded_iterative(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
+    noise_diag: Array | float | None = None,
 ) -> Array:
     """Row-sharded matrix-free LML core: ``K_rows`` (n_local, n) is this
     device's block of the covariance (axis-index row order), ``y`` the
@@ -488,13 +570,30 @@ def lml_rowsharded_iterative(
     reassociation of the gathered matvecs.  The backward yields this
     device's rows of Kbar; pair with parallel.large_n.psum_grads for the
     complete theta gradient.
+
+    ``precond_rank > 0`` enables the pivoted-Cholesky preconditioner for
+    the solves and the preconditioned SLQ quadrature for the logdet,
+    built matrix-free from all_gathered column slices (rank (n,)-float
+    gathers); pass the covariance's noise/jitter diagonal (full (n,),
+    replicated) as ``noise_diag``.  Same probe layout as the dense
+    lml_core_iterative, so the same key reproduces its estimate.
     """
     n = y.shape[0]
     k1, k2 = jax.random.split(jnp.asarray(key))
-    probes_slq = rademacher(k1, (num_probes, n), K_rows.dtype)
+    if precond_rank > 0:
+        if noise_diag is None:
+            raise ValueError("precond_rank > 0 needs the covariance noise_diag")
+        probes_slq = jax.random.normal(
+            k1, (num_probes, n + precond_rank), K_rows.dtype
+        )
+        nd = jnp.broadcast_to(jnp.asarray(noise_diag, K_rows.dtype), (n,))
+    else:
+        probes_slq = rademacher(k1, (num_probes, n), K_rows.dtype)
+        nd = jnp.zeros((n,), K_rows.dtype)
     probes_tr = rademacher(k2, (n, num_probes), K_rows.dtype)
     return _lml_core_iter_rows(
-        K_rows, y, probes_slq, probes_tr, axis, cg_iters, lanczos_iters
+        K_rows, y, probes_slq, probes_tr, nd, axis,
+        cg_iters, lanczos_iters, precond_rank
     )
 
 
@@ -555,6 +654,10 @@ def lml_matfree(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
+    cov_col_fn=None,
+    cov_diag: Array | None = None,
+    noise_diag: Array | float | None = None,
 ):
     """Matrix-free -1/2 (log|K| + y^T K^-1 y) plus the ingredients for the
     caller's gradient: returns (value, aux) where aux = (alpha, Z, S).
@@ -563,15 +666,48 @@ def lml_matfree(
     over hyperparameters — differentiate the VALUE through
     :func:`matfree_quadratic_forms` with the aux frozen (see
     gp.core.lml_iterative_matfree for the packaged custom-VJP form).
+
+    ``precond_rank > 0`` runs the solves as PCG and the logdet as
+    preconditioned SLQ with the rank-k pivoted-Cholesky preconditioner
+    built matrix-free from ``cov_col_fn(i) -> (n,)`` (column i of K),
+    ``cov_diag`` (its (n,) diagonal) and ``noise_diag`` — rank column
+    evaluations, never a dense K.  Same probe layout as the dense
+    lml_core_iterative (N(0, P) seeds for the quadrature), so with the
+    same key the two paths agree up to matvec reassociation.  The
+    preconditioner is an estimator constant (stop_gradient), exactly as
+    in the dense path.
     """
     n = y.shape[0]
     mv = matfree_matvec(cov_rows_fn, n, panel)
     k1, k2 = jax.random.split(jnp.asarray(key))
-    probes_slq = rademacher(k1, (num_probes, n), y.dtype)
+    pc = None
+    if precond_rank > 0:
+        if cov_col_fn is None or cov_diag is None or noise_diag is None:
+            raise ValueError(
+                "precond_rank > 0 needs cov_col_fn, cov_diag and noise_diag"
+            )
+        pc = pivoted_precond_cols(
+            lambda i: jax.lax.stop_gradient(cov_col_fn(i)),
+            jax.lax.stop_gradient(jnp.asarray(cov_diag, y.dtype)),
+            precond_rank,
+            jax.lax.stop_gradient(
+                jnp.broadcast_to(jnp.asarray(noise_diag, y.dtype), (n,))
+            ),
+        )
+        probes_slq = jax.random.normal(k1, (num_probes, n + precond_rank), y.dtype)
+    else:
+        probes_slq = rademacher(k1, (num_probes, n), y.dtype)
     probes_tr = rademacher(k2, (n, num_probes), y.dtype)
-    X, _ = cg_solve(mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+    X, _ = cg_solve(
+        mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters, precond=pc
+    )
     alpha, S = X[:, 0], X[:, 1:]
-    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    if pc is not None:
+        logdet = slq_logdet_pcg(
+            mv, pc, probes_slq[:, :n], probes_slq[:, n:], lanczos_iters
+        )
+    else:
+        logdet = slq_logdet(mv, probes_slq, lanczos_iters)
     value = -0.5 * (logdet + jnp.dot(y, alpha))
     return value, (alpha, probes_tr, S)
 

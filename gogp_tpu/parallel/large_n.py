@@ -40,7 +40,8 @@ Array = jax.Array
 
 def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str, block: int,
                          method: str = "exact", key=None, num_probes: int = 16,
-                         cg_iters: int = 100, lanczos_iters: int = 32):
+                         cg_iters: int = 100, lanczos_iters: int = 32,
+                         precond_rank: int = 0):
     """Per-device closure: v (log-thetas, replicated) -> replicated LML.
 
     Builds this device's block-rows of K(theta) from its X shard (reference
@@ -49,7 +50,9 @@ def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str
     ``method="iterative"``, the matrix-free CG/SLQ estimator
     (ops.iterative.lml_rowsharded_iterative: the whole distribution
     reduces to one all_gather per covariance matvec; ``key`` seeds the
-    probes identically on every device).
+    probes identically on every device).  ``precond_rank > 0`` (iterative
+    only) builds the pivoted-Cholesky preconditioner from all_gathered
+    column slices and runs PCG + preconditioned SLQ.
     """
     if method == "iterative" and key is None:
         raise ValueError("method='iterative' needs a probe `key`")
@@ -77,8 +80,13 @@ def make_rowsharded_logp(gp: GP, x_local, x_full, y_local, mask_local, axis: str
             from gogp_tpu.ops.iterative import lml_rowsharded_iterative
 
             y_full = jax.lax.all_gather(yv, axis, tiled=True)
+            noise_diag = None
+            if precond_rank > 0:
+                nd_local = gp.noise.vector(th_n, x_local) * m_local + (1.0 - m_local)
+                noise_diag = jax.lax.all_gather(nd_local, axis, tiled=True)
             core = lml_rowsharded_iterative(
-                rows, y_full, key, axis, num_probes, cg_iters, lanczos_iters
+                rows, y_full, key, axis, num_probes, cg_iters, lanczos_iters,
+                precond_rank, noise_diag,
             )
             n_eff = jax.lax.psum(jnp.sum(m_local), axis)
             return core - 0.5 * n_eff * jnp.log(2.0 * jnp.pi)

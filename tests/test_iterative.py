@@ -144,6 +144,22 @@ class TestPivotedPrecond:
             float(est), float(exact),
         )
 
+    def test_pivoted_cholesky_cols_matches_dense(self):
+        """The column-accessor build (matrix-free / row-sharded form) must
+        reproduce the dense pivoted Cholesky exactly — same pivots, same
+        columns — when its col_fn reads from the same dense K."""
+        from gogp_tpu.ops.iterative import pivoted_cholesky, pivoted_cholesky_cols
+
+        K, nv = make_dense_gp_cov()
+        n = K.shape[0]
+        Ld = pivoted_cholesky(K, rank=24, shift=nv)
+
+        def col_fn(i):
+            return jnp.take(K, i, axis=1) - nv * (jnp.arange(n) == i).astype(K.dtype)
+
+        Lc = pivoted_cholesky_cols(col_fn, jnp.diagonal(K) - nv, 24)
+        np.testing.assert_allclose(np.asarray(Lc), np.asarray(Ld), atol=1e-12)
+
     def test_lml_precond_rescues_small_cg_budget(self):
         """At a CG budget where the plain solves have not converged on the
         ill-conditioned covariance, the preconditioned path must land on
@@ -246,6 +262,55 @@ class TestIterativeLML:
         vf, gf = jax.value_and_grad(f_free)(self.v)
         assert abs(float(vd - vf)) < 1e-5
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gf), rtol=1e-4, atol=1e-4)
+
+    def test_matfree_precond_matches_dense_precond(self):
+        """precond_rank on the matfree path: the preconditioner built from
+        kernel-column evaluations must reproduce the dense path's PCG +
+        preconditioned-SLQ estimate (same key, same probe layout) — value
+        and theta gradient."""
+        from gogp_tpu.gp.core import lml_iterative_matfree
+
+        key = jax.random.PRNGKey(13)
+        kw = dict(num_probes=16, cg_iters=200, lanczos_iters=24, precond_rank=24)
+
+        def f_dense(v):
+            th = jnp.exp(v)
+            return lml_iterative(gp_of(self), th[:2], th[2:], self.x, self.y, key, **kw)
+
+        def f_free(v):
+            th = jnp.exp(v)
+            return lml_iterative_matfree(
+                gp_of(self), th[:2], th[2:], self.x, self.y, key, panel=64, **kw
+            )
+
+        vd, gd = jax.value_and_grad(f_dense)(self.v)
+        vf, gf = jax.value_and_grad(f_free)(self.v)
+        assert abs(float(vd - vf)) < 1e-5 * abs(float(vd)), (float(vd), float(vf))
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gf), rtol=1e-4, atol=1e-4)
+        # and the preconditioned estimate is near-exact on this smooth
+        # posterior covariance even at the small probe/iteration budget
+        ve = float(self._exact(self.v))
+        assert abs(float(vf) - ve) / abs(ve) < 2e-3, (float(vf), ve)
+
+    def test_matfree_precond_mask(self):
+        """Masked (padded) rows are identity rows in K; the matfree
+        preconditioner's columns/diag must honor that exactly as the dense
+        builder does."""
+        from gogp_tpu.gp.core import lml_iterative_matfree
+
+        th = jnp.exp(self.v)
+        n = self.x.shape[0]
+        mask = jnp.ones(n).at[-64:].set(0.0)
+        key = jax.random.PRNGKey(15)
+        kw = dict(num_probes=16, cg_iters=200, lanczos_iters=24, precond_rank=24)
+        free = lml_iterative_matfree(
+            gp_of(self), th[:2], th[2:], self.x, self.y, key, mask=mask,
+            panel=64, **kw,
+        )
+        dense = lml_iterative(
+            gp_of(self), th[:2], th[2:], self.x, self.y, key, mask=mask, **kw
+        )
+        assert abs(float(free - dense)) < 1e-5 * abs(float(dense))
 
     def test_matfree_mask(self):
         from gogp_tpu.gp.core import lml_iterative_matfree

@@ -133,6 +133,51 @@ class TestRowShardedIterative:
         assert abs(float(vs - ve)) < 1e-5 * abs(float(ve)), (float(vs), float(ve))
         np.testing.assert_allclose(np.asarray(gs), np.asarray(ge), rtol=1e-4, atol=1e-4)
 
+    def test_precond_matches_dense_precond(self, mesh, problem):
+        """precond_rank on the row-sharded path: the pivoted-Cholesky
+        preconditioner built from all_gathered column slices must
+        reproduce the dense PCG + preconditioned-SLQ estimate with the
+        same key — value and psum-completed theta gradient."""
+        from gogp_tpu.gp.core import lml_iterative
+        from gogp_tpu.parallel.large_n import psum_grads
+
+        gp, x, y = problem
+        n = x.shape[0]
+        key = jax.random.PRNGKey(17)
+        kwargs = dict(num_probes=16, cg_iters=200, lanczos_iters=24,
+                      precond_rank=16)
+        v = jnp.asarray([0.2, -0.1, -1.0])
+
+        def dense(v):
+            th = jnp.exp(v)
+            return lml_iterative(gp, th[:2], th[2:], x, y, key, **kwargs)
+
+        ve, ge = jax.value_and_grad(dense)(v)
+
+        def device_fn(x_local, y_local, m_local):
+            logp = psum_grads(
+                make_rowsharded_logp(
+                    gp, x_local,
+                    jax.lax.all_gather(x_local, DATA_AXIS, tiled=True),
+                    y_local, m_local, DATA_AXIS, block=8,
+                    method="iterative", key=key, **kwargs,
+                ),
+                DATA_AXIS,
+            )
+            return jax.value_and_grad(logp)(v)
+
+        fn = jax.jit(
+            jax.shard_map(
+                device_fn, mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+        vs, gs = fn(x, y, jnp.ones(n))
+        assert abs(float(vs - ve)) < 1e-5 * abs(float(ve)), (float(vs), float(ve))
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ge), rtol=1e-4, atol=1e-4)
+
 
 class TestLargeNSMC:
     def test_mesh_composition_invariance(self, problem):

@@ -21,6 +21,7 @@ from gogp_tpu.parallel.sample import (
     run_chees_pops_sharded,
     run_chees_sharded,
     run_nuts_sharded,
+    run_pt_chees_distributed,
     run_pt_chees_sharded,
     run_pt_distributed,
     run_pt_sharded,
@@ -48,6 +49,7 @@ __all__ = [
     "run_chees_pops_sharded",
     "run_chees_sharded",
     "run_nuts_sharded",
+    "run_pt_chees_distributed",
     "run_pt_chees_sharded",
     "run_pt_distributed",
     "run_pt_sharded",

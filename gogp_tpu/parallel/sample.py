@@ -740,6 +740,246 @@ def run_pt_distributed(
     )
 
 
+def run_pt_chees_distributed(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    n_ladders: int = 16,
+    n_replicas: int = 8,
+    beta_min: float = 0.1,
+    betas: Array | None = None,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    init_traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_num_steps: int = 256,
+    traj_lr: float = 0.025,
+    free: Array | None = None,
+    adapt_ladder: bool = True,
+):
+    """PT-ChEES with the RUNGS spanning the mesh — the ChEES analogue of
+    :func:`run_pt_distributed`.
+
+    Each device owns ``n_replicas / n_devices`` adjacent temperature slots;
+    every slot holds the FULL cross-ladder population (L chains) locally,
+    so all per-rung ChEES adaptation (shared step size / trajectory / mass
+    from cross-ladder means) is device-local — zero collectives in the
+    mutation.  A DEO sweep gathers (position, raw logp, raw grad) of all
+    rungs — O(K * L * dim) floats over ICI, tiny for hyperparameter
+    spaces — computes identical per-ladder swap decisions on every device
+    from replicated keys, and each device keeps its slots' incoming
+    states; the adaptation state stays with the temperature slot.  The
+    replicated beta ladder adapts to equal communication-barrier
+    increments at warmup window ends (Syed et al. 2019).
+
+    Unlike :func:`run_pt_chees_sharded` (whole ladders per device, rung
+    populations pmean'd across the mesh), this lets MORE DEVICES DEEPEN
+    ONE LADDER: K scales with the mesh at constant walltime per sweep —
+    the scaling lever when cold-chain ESS is round-trip capped (measured
+    in STATUS.md: min-ESS ~= 2x round trips).  Consumes the same PRNG
+    stream as infer.run_pt_chees, so results match the local runner (and
+    are device-count invariant) up to float reassociation.
+
+    ``position0``: (dim,) or (n_ladders, dim) cold-start positions.
+    Returns :class:`gogp_tpu.infer.pt_chees.PTChEESResult` with all-ladder
+    cold draws (num_samples, n_ladders, dim) replicated and ``state``
+    rung-sharded over the mesh.
+    """
+    from gogp_tpu.infer.chees import chees_init, chees_transition
+    from gogp_tpu.infer.chees import chees_warmup_step, finalize_chees_warmup
+    from gogp_tpu.infer.pt_chees import _flow_update, _init_flow_ladders
+    from gogp_tpu.infer.tempering import (
+        adapt_ladder_betas,
+        geometric_ladder,
+        swap_decision,
+    )
+
+    position0 = jnp.atleast_2d(jnp.asarray(position0))  # (L?, dim)
+    if position0.shape[0] == 1 and n_ladders > 1:
+        position0 = jnp.broadcast_to(position0, (n_ladders, position0.shape[-1]))
+    L = n_ladders = position0.shape[0]
+    dtype = position0.dtype
+    if betas is None:
+        betas0 = geometric_ladder(n_replicas, beta_min, dtype)
+    else:
+        betas0 = jnp.asarray(betas, dtype)
+        n_replicas = betas0.shape[0]
+    K = n_replicas
+    n_dev = mesh.devices.size
+    if K % n_dev != 0:
+        raise ValueError(f"{K} replicas not divisible by {n_dev} devices")
+    r_local = K // n_dev
+    key_loop, key_init = jax.random.split(jnp.asarray(rng))
+    # one init key per rung, global order — matches pt_chees_init's stream
+    init_keys = jax.random.split(key_init, K)
+    sched = adapt.build_schedule(num_warmup)
+    axes = (CHAIN_AXIS, DATA_AXIS)
+
+    def gather(x):
+        x = jax.lax.all_gather(x, DATA_AXIS, tiled=True)
+        return jax.lax.all_gather(x, CHAIN_AXIS, tiled=True)
+
+    def device_fn(keys_local):
+        r0 = (
+            jax.lax.axis_index(CHAIN_AXIS) * jax.lax.axis_size(DATA_AXIS)
+            + jax.lax.axis_index(DATA_AXIS)
+        ) * r_local
+
+        def betas_loc_of(b):
+            return jax.lax.dynamic_slice_in_dim(b, r0, r_local, 0)
+
+        states = jax.vmap(
+            lambda k, b: chees_init(
+                lambda v: b * logp(v), position0, k,
+                init_step_size, init_traj_length, free,
+            )
+        )(keys_local, betas_loc_of(betas0))
+
+        def transition(state, beta, adapt_traj):
+            return chees_transition(
+                lambda v: beta * logp(v), state,
+                adapt_traj=adapt_traj, max_num_steps=max_num_steps,
+                traj_lr=traj_lr, free=free,
+            )
+
+        def swap(states, betas_full, k_swap, parity):
+            betas_loc = betas_loc_of(betas_full)
+            raw_loc = states.logps / betas_loc[:, None]  # (r_local, L)
+            rawg_loc = states.grads / betas_loc[:, None, None]
+            raw_f = gather(raw_loc)  # (K, L)
+            pos_f = gather(states.positions)  # (K, L, dim)
+            rawg_f = gather(rawg_loc)
+            keys = jax.random.split(k_swap, L)
+            src, pair_probs, proposed, frac = jax.vmap(
+                lambda r, k: swap_decision(betas_full, r, k, parity),
+                in_axes=(1, 0), out_axes=(1, 0, 0, 0),
+            )(raw_f, keys)  # src (K, L); pair stats (L, K-1); frac (L,)
+            ladder = jnp.arange(L)[None, :]
+            my_src = jax.lax.dynamic_slice_in_dim(src, r0, r_local, 0)
+            new_raw = raw_f[my_src, ladder]  # (r_local, L)
+            new_rawg = rawg_f[my_src, ladder]
+            betas_col = betas_loc[:, None]
+            states = states._replace(
+                positions=pos_f[my_src, ladder],
+                logps=new_raw * betas_col,
+                grads=new_rawg * betas_col[..., None],
+            )
+            pair_rej = jnp.mean(jnp.where(proposed, 1.0 - pair_probs, 0.0), axis=0)
+            prop = proposed[0].astype(raw_f.dtype)  # same parity every ladder
+            cold = jnp.arange(L)
+            return (
+                states, new_raw, new_rawg, src, pair_rej, prop,
+                jnp.mean(frac), pos_f[src[0], cold], raw_f[src[0], cold],
+            )
+
+        def warm_step(carry, inp):
+            states, key, betas_full, rej_sum, prop_count = carry
+            key, k_swap = jax.random.split(key)
+            betas_loc = betas_loc_of(betas_full)
+            states = jax.vmap(transition, in_axes=(0, 0, None))(
+                states, betas_loc, True
+            )
+            states = jax.vmap(
+                lambda s: chees_warmup_step(s, inp["um"], inp["we"], target_accept)
+            )(states)
+            states, new_raw, new_rawg, _, pair_rej, prop, _, _, _ = swap(
+                states, betas_full, k_swap, inp["t"] % 2
+            )
+            rej_sum = rej_sum + pair_rej
+            prop_count = prop_count + prop
+
+            if adapt_ladder:
+
+                def update(args):
+                    betas_full, rej, cnt, states = args
+                    nb = adapt_ladder_betas(betas_full, rej, cnt)
+                    nb_loc = betas_loc_of(nb)[:, None]
+                    states = states._replace(
+                        logps=new_raw * nb_loc,
+                        grads=new_rawg * nb_loc[..., None],
+                    )
+                    return nb, jnp.zeros_like(rej), jnp.zeros_like(cnt), states
+
+                betas_full, rej_sum, prop_count, states = jax.lax.cond(
+                    inp["we"], update, lambda a: a,
+                    (betas_full, rej_sum, prop_count, states),
+                )
+            return (states, key, betas_full, rej_sum, prop_count), None
+
+        def sample_step(carry, t):
+            states, key, betas_full, flow = carry
+            key, k_swap = jax.random.split(key)
+            states = jax.vmap(transition, in_axes=(0, 0, None))(
+                states, betas_loc_of(betas_full), False
+            )
+            states, _, _, src, pair_rej, prop, frac, cold_pos, cold_raw = swap(
+                states, betas_full, k_swap, t % 2
+            )
+            # src and pair stats are replicated: every device computes the
+            # identical per-ladder flow update (infer.pt_chees._flow_update)
+            flow = _flow_update(flow, src)
+            flow = flow._replace(
+                rej_sum=flow.rej_sum + pair_rej, prop_count=flow.prop_count + prop
+            )
+            return (states, key, betas_full, flow), (cold_pos, cold_raw, frac)
+
+        zeros = jnp.zeros((K - 1,), dtype)
+        betas_f = betas0
+        key = key_loop
+        if num_warmup > 0:
+            ts = jnp.arange(num_warmup)
+            (states, key, betas_f, _, _), _ = jax.lax.scan(
+                warm_step, (states, key, betas_f, zeros, zeros),
+                {"um": sched.update_mass, "we": sched.window_end, "t": ts},
+            )
+            states = jax.vmap(finalize_chees_warmup)(states)
+        flow0 = _init_flow_ladders(L, betas_f)
+        ts2 = num_warmup + jnp.arange(num_samples)
+        (states, _, betas_f, flow), (cold_pos, cold_raw, fracs) = jax.lax.scan(
+            sample_step, (states, key, betas_f, flow0), ts2
+        )
+        trips = jnp.sum(flow.trips)  # replicated (flow is replicated)
+        pair_rej = flow.rej_sum / jnp.maximum(flow.prop_count, 1.0)
+        return cold_pos, cold_raw, jnp.mean(fracs), states, betas_f, trips, pair_rej
+
+    from gogp_tpu.infer.chees import AdamState, ChEESState
+    from gogp_tpu.infer.pt_chees import PTChEESResult
+
+    shard = P(axes)
+    rep = P()
+    # every state leaf is rung-stacked: leading axis sharded over the mesh
+    state_spec = ChEESState(
+        positions=P(axes, None, None),
+        logps=P(axes, None),
+        grads=P(axes, None, None),
+        step_size=shard,
+        inv_mass=P(axes, None),
+        log_traj=shard,
+        accept_probs=P(axes, None),
+        da=adapt.DualAveragingState(shard, shard, shard, shard, shard),
+        adam=AdamState(shard, shard, shard),
+        welford=adapt.WelfordState(shard, P(axes, None), P(axes, None)),
+        step=shard,
+        rng=shard,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard,),
+            out_specs=(rep, rep, rep, state_spec, rep, rep, rep),
+            check_vma=False,
+        )
+    )
+    cold_pos, cold_raw, frac, states, betas_f, trips, pair_rej = fn(init_keys)
+    return PTChEESResult(
+        cold_pos, cold_raw, frac, states, betas_f, trips,
+        jnp.sum(pair_rej), pair_rej,
+    )
+
+
 def run_pt_sharded(
     logp: LogDensity,
     position0: Array,

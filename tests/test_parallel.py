@@ -216,6 +216,58 @@ class TestDistributedPT:
         assert np.all(np.diff(betas) < 0), betas
 
 
+class TestDistributedPTChEES:
+    """One ChEES ladder spanning the mesh (parallel.run_pt_chees_distributed):
+    each device owns adjacent rungs, each rung a full local cross-ladder
+    population."""
+
+    def test_matches_local_runner_and_device_count(self, mesh8, mesh1):
+        """Same PRNG stream as infer.run_pt_chees: the 8-device and
+        1-device distributed runs and the plain local runner must all
+        produce the same draws and adapted ladder."""
+        from gogp_tpu.infer.pt_chees import run_pt_chees
+
+        def logp(v):
+            return -0.5 * jnp.sum(v * v)
+
+        x0 = jnp.zeros((4, 2))  # 4 ladders
+        kwargs = dict(n_replicas=8, beta_min=0.1, num_warmup=60, num_samples=40)
+        r8 = parallel.run_pt_chees_distributed(
+            logp, x0, jax.random.PRNGKey(5), mesh8, n_ladders=4, **kwargs
+        )
+        r1 = parallel.run_pt_chees_distributed(
+            logp, x0, jax.random.PRNGKey(5), mesh1, n_ladders=4, **kwargs
+        )
+        rl = run_pt_chees(logp, x0, jax.random.PRNGKey(5), n_ladders=4, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(r8.positions), np.asarray(rl.positions), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r8.betas), np.asarray(rl.betas), atol=1e-8
+        )
+        assert int(r8.round_trips) == int(rl.round_trips)
+
+    def test_bimodal_mixing_distributed(self, mesh8):
+        def bimodal(v):
+            a = -0.5 * jnp.sum((v - 4.0) ** 2) / 0.25
+            b = -0.5 * jnp.sum((v + 4.0) ** 2) / 0.25
+            return jnp.logaddexp(a, b)
+
+        res = parallel.run_pt_chees_distributed(
+            bimodal, jnp.full((8, 1), 4.0), jax.random.PRNGKey(0), mesh8,
+            n_ladders=8, n_replicas=8, beta_min=0.02,
+            num_warmup=300, num_samples=600,
+        )
+        pos = np.asarray(res.positions)  # (600, 8, 1)
+        frac_neg = float(np.mean(pos[:, :, 0] < 0))
+        assert 0.1 < frac_neg < 0.9, frac_neg
+        assert float(res.swap_rate) > 0.2
+        assert int(res.round_trips) > 0
+
+
 class TestShardedPTChEES:
     def test_moments_8dev(self, mesh8):
         x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(30), (8, 2))

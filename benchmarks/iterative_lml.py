@@ -111,7 +111,7 @@ def main():
             return lml_iterative_matfree(
                 gp, ts, tn, x, y, key, panel=args.panel,
                 num_probes=args.probes, cg_iters=args.cg_iters,
-                lanczos_iters=args.lanczos,
+                lanczos_iters=args.lanczos, precond_rank=args.precond_rank,
             )
         return lml_iterative(
             gp, ts, tn, x, y, key,
@@ -145,8 +145,12 @@ def main():
     }
 
     if args.compare_exact:
+        # like-for-like: the exact leg runs under the same matmul-precision
+        # context (without it, the default 1-pass-bf16 backward NaNs the
+        # ill-conditioned stress case and grad_rel_err reads NaN)
         def exact_vg(v):
-            return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
+            with prec:
+                return jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v)
 
         ex_ms = devloop(exact_vg, v) - floor
         ve, ge = jax.jit(exact_vg)(v)

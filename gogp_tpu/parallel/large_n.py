@@ -159,6 +159,7 @@ def run_chees_large_n(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
 ):
     """Full-posterior ChEES-HMC over log-thetas with the covariance
     row-sharded over the data axis — Bayesian GP inference at n beyond one
@@ -235,6 +236,7 @@ def run_chees_large_n(
                 y_local, m_local, DATA_AXIS, block,
                 method=method, key=key_probes, num_probes=num_probes,
                 cg_iters=cg_iters, lanczos_iters=lanczos_iters,
+                precond_rank=precond_rank,
             ),
             DATA_AXIS,
         )
@@ -313,6 +315,7 @@ def run_smc_large_n(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    precond_rank: int = 0,
 ) -> SMCResult:
     """SMC posterior over log-thetas with N-sharded covariance work AND the
     particle population sharded over the remaining mesh axes.
@@ -375,6 +378,7 @@ def run_smc_large_n(
             y_local, m_local, DATA_AXIS, block,
             method=method, key=key_probes, num_probes=num_probes,
             cg_iters=cg_iters, lanczos_iters=lanczos_iters,
+            precond_rank=precond_rank,
         )
         if mutation == "hmc":
             logp = psum_grads(logp, DATA_AXIS)

@@ -84,7 +84,8 @@ def build_logjoint(study, x: np.ndarray, y: np.ndarray):
 
 
 def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
-                     num_warmup: int, chains: int, pops: int = 1):
+                     num_warmup: int, chains: int, pops: int = 1,
+                     replicas: int = 8):
     key = jax.random.PRNGKey(seed)
     if engine == "chees":
         # population sampler: the chain axis lives inside the state (shared
@@ -120,6 +121,21 @@ def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
                 )
             )
         )(x0, keys)
+        draws = np.asarray(res.positions).reshape(-1, v0.shape[0])
+    elif engine == "pt-chees":
+        # parallel tempering with ChEES rung populations: --chains ladders
+        # x --replicas rungs; cold-chain draws of every ladder are pooled
+        # (infer/pt_chees.py — the multimodal-posterior engine)
+        from gogp_tpu.infer.pt_chees import run_pt_chees
+
+        x0 = v0[None, :] + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(seed + 1), (chains, v0.shape[0])
+        ) * free[None, :]
+        res = run_pt_chees(
+            logp, x0, key, n_ladders=chains, n_replicas=replicas,
+            num_warmup=num_warmup,
+            num_samples=max(1, num_samples // chains), free=free,
+        )
         draws = np.asarray(res.positions).reshape(-1, v0.shape[0])
     elif engine == "advi":
         res = infer.run_advi(logp, v0, key, num_steps=num_warmup * 4, free=free)
@@ -159,12 +175,14 @@ def main(argv=None):
     ap.add_argument("study", choices=STUDIES)
     ap.add_argument(
         "--engine", default="nuts",
-        choices=["nuts", "hmc", "chees", "advi", "smc"],
+        choices=["nuts", "hmc", "chees", "pt-chees", "advi", "smc"],
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--warmup", type=int, default=400)
     ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--replicas", type=int, default=8,
+                    help="with --engine pt-chees: rungs per ladder")
     ap.add_argument("--pops", type=int, default=1,
                     help="with --engine chees: independent populations of "
                     "chains/pops chains, each adapting its own kernel")
@@ -188,7 +206,7 @@ def main(argv=None):
     tio.progress(f"sampling ({args.engine})...")
     draws = sample_posterior(
         logp, v0, free, args.engine, args.seed, args.samples, args.warmup,
-        args.chains, args.pops
+        args.chains, args.pops, args.replicas
     )
     tio.progress("forecasting...")
     lo, hi = x[:, 0].min(), x[:, 0].max()

@@ -51,6 +51,28 @@ def test_engines_produce_forecast(study, engine):
     assert any(l.startswith("# posterior theta mean") for l in out.splitlines())
 
 
+def test_pt_chees_engine_produces_forecast():
+    """--engine pt-chees: tempered ChEES ladders through the same
+    forecast pipeline (small ladder: 2 ladders x 3 rungs)."""
+    out = run_driver(
+        [
+            "barebones",
+            "--engine", "pt-chees",
+            "--samples", "32",
+            "--warmup", "40",
+            "--chains", "2",
+            "--replicas", "3",
+            "--grid", "10",
+            "selfcheck",
+        ]
+    )
+    lines = [l for l in out.strip().splitlines() if l and not l.startswith("#")]
+    assert len(lines) == 10
+    vals = np.asarray([[float(v) for v in l.split(",")] for l in lines])
+    assert np.all(np.isfinite(vals[:, 2]))
+    assert np.all(vals[:, 3] >= 0)
+
+
 def test_warpedtime_full_joint():
     """BASELINE config: warped-input full joint inference — latent inputs
     sampled alongside thetas (free-mask pins first/last input + outputs)."""

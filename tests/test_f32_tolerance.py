@@ -198,3 +198,36 @@ class TestIterativeF32:
             direct = np.linalg.solve(np.asarray(Kj, np.float64), np.asarray(yv, np.float64))
         rel = float(np.linalg.norm(np.asarray(xsol) - direct) / np.linalg.norm(direct))
         assert rel < 5e-4, rel
+
+    def test_matfree_precond_f32(self, f32):
+        """The matrix-free preconditioned LML at f32 (the exact shape of
+        the measured on-chip stress configuration, scaled down): finite
+        and within the estimator contract of the f64 exact value."""
+        from gogp_tpu.gp.core import lml, lml_iterative_matfree
+
+        gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(11)
+        n = 256
+        x = np.sort(rng.uniform(0, 10, (n, 1)), axis=0)
+        y = np.sin(x[:, 0]) + 0.05 * rng.normal(size=n)
+        ts = jnp.asarray([1.0, 2.0], jnp.float32)
+        tn = jnp.asarray([0.05], jnp.float32)
+        key = jax.random.PRNGKey(9)
+
+        def f(v_ts, v_tn):
+            return lml_iterative_matfree(
+                gp, v_ts, v_tn, jnp.asarray(x, jnp.float32),
+                jnp.asarray(y, jnp.float32), key, panel=64,
+                num_probes=16, cg_iters=300, lanczos_iters=24,
+                precond_rank=32,
+            )
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(ts, tn)
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+        with jax.enable_x64(True):
+            exact = float(
+                lml(gp, jnp.asarray(ts, jnp.float64), jnp.asarray(tn, jnp.float64),
+                    jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64))
+            )
+        assert abs(float(val) - exact) <= 5e-3 * abs(exact), (float(val), exact)

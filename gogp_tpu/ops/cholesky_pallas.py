@@ -144,19 +144,21 @@ def force_interpret():
         _INTERPRET = prev
 
 
-def _chol_kernel(a_ref, l_ref, m_ref, *, precision=None):
-    """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower (MXU rank-8).
+def _chol_kernel(a_ref, l_ref, m_ref, *, precision=None, rank=8):
+    """Unblocked in-VMEM Cholesky: l_ref <- chol(a_ref), lower (MXU rank-R).
 
-    Panel (rank-8) formulation: the tile is factored eight columns at a
-    time.  Each panel step extracts the 8-row slab of the (symmetric)
+    Panel (rank-R) formulation: the tile is factored R columns at a
+    time.  Each panel step extracts the R-row slab of the (symmetric)
     working matrix M — row r of M is column r of M — factors the panel
-    *within the slab* using eight tiny masked rank-1 substeps on an (8, n)
-    block, then applies the trailing update as ONE rank-8 MXU matmul
+    *within the slab* using R tiny masked rank-1 substeps on an (R, n)
+    block, then applies the trailing update as ONE rank-R MXU matmul
     (W^T W) and scatters the panel into L with a second MXU matmul against
     an iota-built selector.  Compared to the rank-1 formulation this moves
     all O(n^3) work from full-tile VPU passes onto the MXU: the VPU only
-    ever touches (8, n) slabs.  Measured on one v5e chip, the 256-tile
-    dropped from 1.57 ms (rank-1) to the noise floor.
+    ever touches (R, n) slabs.  Measured on one v5e chip, the rank-8
+    256-tile dropped from 1.57 ms (rank-1) to the noise floor; raising
+    the rank trades more (cheap) VPU substep work for fewer, deeper MXU
+    matmuls — rank must be a multiple of 8 (sublane slab slicing).
 
     Mosaic rules observed: no lane-dim slicing (columns are reached with
     masked reductions and iota selectors); slab slicing is along the
@@ -165,49 +167,61 @@ def _chol_kernel(a_ref, l_ref, m_ref, *, precision=None):
     n = a_ref.shape[0]
     dtype = a_ref.dtype
     prec = _kernel_precision(precision)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
-    col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rank, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rank, n), 1)
     m_ref[:] = a_ref[:]
     l_ref[:] = jnp.zeros_like(a_ref)
 
     def panel(s, _):
-        r0 = s * 8
-        S = m_ref[pl.ds(r0, 8), :]  # (8, n) slab: rows r0..r0+8 of M
+        r0 = s * rank
+        S = m_ref[pl.ds(r0, rank), :]  # (R, n) slab: rows r0..r0+R of M
         W = jnp.zeros_like(S)
-        for i in range(8):  # static unroll — masks select the pivot lane
+        for i in range(rank):  # static unroll — masks select the pivot lane
             c = r0 + i
-            row_i = jnp.sum(jnp.where(row8 == i, S, 0.0), axis=0, keepdims=True)
-            d = jnp.sum(jnp.where(col8[:1, :] == c, row_i, 0.0))
-            w = jnp.where(col8[:1, :] >= c, row_i * jax.lax.rsqrt(d), 0.0)
-            # w at lanes r0+k, aligned with slab rows k -> (8,1) column
-            cvec = jnp.sum(jnp.where(col8 == r0 + row8, w, 0.0), axis=1, keepdims=True)
-            cvec = jnp.where(row8[:, :1] > i, cvec, 0.0)
+            row_i = jnp.sum(jnp.where(rows == i, S, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(cols[:1, :] == c, row_i, 0.0))
+            w = jnp.where(cols[:1, :] >= c, row_i * jax.lax.rsqrt(d), 0.0)
+            # w at lanes r0+k, aligned with slab rows k -> (R,1) column
+            cvec = jnp.sum(jnp.where(cols == r0 + rows, w, 0.0), axis=1, keepdims=True)
+            cvec = jnp.where(rows[:, :1] > i, cvec, 0.0)
             S = S - cvec * w
-            W = W + jnp.where(row8 == i, w, 0.0)
-        # trailing rank-8 update: M -= W^T W.  Rows/cols < r0 get zero
+            W = W + jnp.where(rows == i, w, 0.0)
+        # trailing rank-R update: M -= W^T W.  Rows/cols < r0 get zero
         # contribution (W lanes below the pivot are masked); the slab rows
         # themselves become stale but are never read again.
         m_ref[:] = m_ref[:] - jax.lax.dot_general(
             W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
             precision=prec,
         )
-        # scatter panel into L columns r0..r0+7: L[j, r0+i] = W[i, j],
+        # scatter panel into L columns r0..r0+R-1: L[j, r0+i] = W[i, j],
         # via one MXU dot against the selector E[i, c] = (c == r0+i)
-        E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
+        E = jnp.where(cols == r0 + rows, 1.0, 0.0).astype(dtype)
         l_ref[:] = l_ref[:] + jax.lax.dot_general(
             W, E, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
             precision=prec,
         )
         return 0
 
-    jax.lax.fori_loop(0, n // 8, panel, 0)
+    jax.lax.fori_loop(0, n // rank, panel, 0)
 
 
-def pallas_cholesky_tile(a: Array, precision: str | None = None) -> Array:
+# Panel rank for the tile kernels: multiple of 8.  Higher rank = fewer,
+# deeper MXU matmuls per tile at more (cheap) VPU substep work.  Measured
+# on v5e (benchmarks/r3_experiments.py): rank 32 is ~2.6x faster on bare
+# 512-tiles (0.122 vs 0.322 ms) and ~7% on the full n=4096 blocked driver.
+_PANEL_RANK = 32
+
+
+def pallas_cholesky_tile(
+    a: Array, precision: str | None = None, rank: int | None = None
+) -> Array:
     """Cholesky of one VMEM-sized tile via the Pallas kernel."""
     n = a.shape[-1]
+    rank = _PANEL_RANK if rank is None else rank
+    if n % rank != 0:
+        rank = 8
     return pl.pallas_call(
-        functools.partial(_chol_kernel, precision=precision),
+        functools.partial(_chol_kernel, precision=precision, rank=rank),
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -220,77 +234,80 @@ def pallas_cholesky_tile(a: Array, precision: str | None = None) -> Array:
     )(a)
 
 
-def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref, *, precision=None):
+def _chol_inv_kernel(a_ref, l_ref, v_ref, m_ref, *, precision=None, rank=8):
     """Fused tile Cholesky + triangular inverse: L = chol(A), V = inv(L).
 
-    Same rank-8 panel scheme as ``_chol_kernel``; the inverse rides along
-    for free because forward substitution by the panel's 8x8 diagonal
+    Same rank-R panel scheme as ``_chol_kernel``; the inverse rides along
+    for free because forward substitution by the panel's RxR diagonal
     block D has the *same dataflow* as the factor substeps: scale row i by
     rsqrt(d), subtract cvec-weighted copies from the rows below.  Running
     the identical substeps on a second slab T initialized to
     ``E_slab - L_hist @ V`` yields exactly D^{-1}(E - L V) — the next
-    eight rows of inv(L).  This removes every XLA triangular solve from
+    R rows of inv(L).  This removes every XLA triangular solve from
     the blocked driver: panels become plain MXU matmuls against V^T.
     """
     n = a_ref.shape[0]
     dtype = a_ref.dtype
     prec = _kernel_precision(precision)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
-    col8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rank, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rank, n), 1)
     m_ref[:] = a_ref[:]
     l_ref[:] = jnp.zeros_like(a_ref)
     v_ref[:] = jnp.zeros_like(a_ref)
 
     def panel(s, _):
-        r0 = s * 8
-        S = m_ref[pl.ds(r0, 8), :]
+        r0 = s * rank
+        S = m_ref[pl.ds(r0, rank), :]
         # identity rows minus the substitution history: at this point V has
         # rows >= r0 still zero and the L slab has lanes >= r0 still zero,
         # so the dot picks up exactly the already-solved prefix.
-        E = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
-        Lslab = l_ref[pl.ds(r0, 8), :]
+        E = jnp.where(cols == r0 + rows, 1.0, 0.0).astype(dtype)
+        Lslab = l_ref[pl.ds(r0, rank), :]
         T = E - jax.lax.dot_general(
             Lslab, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype,
             precision=prec,
         )
         W = jnp.zeros_like(S)
         U = jnp.zeros_like(T)
-        for i in range(8):
+        for i in range(rank):
             c = r0 + i
-            row_s = jnp.sum(jnp.where(row8 == i, S, 0.0), axis=0, keepdims=True)
-            row_t = jnp.sum(jnp.where(row8 == i, T, 0.0), axis=0, keepdims=True)
-            d = jnp.sum(jnp.where(col8[:1, :] == c, row_s, 0.0))
+            row_s = jnp.sum(jnp.where(rows == i, S, 0.0), axis=0, keepdims=True)
+            row_t = jnp.sum(jnp.where(rows == i, T, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(cols[:1, :] == c, row_s, 0.0))
             inv_sqrt = jax.lax.rsqrt(d)
-            w = jnp.where(col8[:1, :] >= c, row_s * inv_sqrt, 0.0)
+            w = jnp.where(cols[:1, :] >= c, row_s * inv_sqrt, 0.0)
             u = row_t * inv_sqrt
-            cvec = jnp.sum(jnp.where(col8 == r0 + row8, w, 0.0), axis=1, keepdims=True)
-            cvec = jnp.where(row8[:, :1] > i, cvec, 0.0)
+            cvec = jnp.sum(jnp.where(cols == r0 + rows, w, 0.0), axis=1, keepdims=True)
+            cvec = jnp.where(rows[:, :1] > i, cvec, 0.0)
             S = S - cvec * w
             T = T - cvec * u
-            W = W + jnp.where(row8 == i, w, 0.0)
-            U = U + jnp.where(row8 == i, u, 0.0)
+            W = W + jnp.where(rows == i, w, 0.0)
+            U = U + jnp.where(rows == i, u, 0.0)
         m_ref[:] = m_ref[:] - jax.lax.dot_general(
             W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
             precision=prec,
         )
-        Esel = jnp.where(col8 == r0 + row8, 1.0, 0.0).astype(dtype)
+        Esel = jnp.where(cols == r0 + rows, 1.0, 0.0).astype(dtype)
         l_ref[:] = l_ref[:] + jax.lax.dot_general(
             W, Esel, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
             precision=prec,
         )
-        v_ref[pl.ds(r0, 8), :] = U
+        v_ref[pl.ds(r0, rank), :] = U
         return 0
 
-    jax.lax.fori_loop(0, n // 8, panel, 0)
+    jax.lax.fori_loop(0, n // rank, panel, 0)
 
 
 def pallas_cholesky_inv_tile(
-    a: Array, precision: str | None = None
+    a: Array, precision: str | None = None, rank: int | None = None
 ) -> tuple[Array, Array]:
     """(L, inv(L)) of one VMEM-sized tile in a single Pallas program."""
     n = a.shape[-1]
+    rank = _PANEL_RANK if rank is None else rank
+    if n % rank != 0:
+        rank = 8
     L, V = pl.pallas_call(
-        functools.partial(_chol_inv_kernel, precision=precision),
+        functools.partial(_chol_inv_kernel, precision=precision, rank=rank),
         out_shape=(
             jax.ShapeDtypeStruct(a.shape, a.dtype),
             jax.ShapeDtypeStruct(a.shape, a.dtype),
@@ -935,6 +952,46 @@ def blocked_tril_inv(
     return X
 
 
+def syrk_lower_t(W: Array, precision: str | None = None, min_size: int = 1024) -> Array:
+    """W^T W for LOWER-TRIANGULAR W, exploiting the triangularity.
+
+    A dense dot_general spends 2n^3 flops; recursive 2x2 splitting
+
+        [W1 0; W2 W3]^T [W1 0; W2 W3] =
+            [W1^T W1 + W2^T W2,  W2^T W3]
+            [   (W2^T W3)^T,     W3^T W3]
+
+    recurses on the triangular W1/W3 diagonal blocks and pays dense
+    matmuls only for the genuinely dense W2 quarter: T(n) = 2 T(n/2) +
+    n^3/2, i.e. ~2n^3/3 — 3x fewer flops, all of them large MXU matmuls
+    (no Pallas needed; the recursion is unrolled at trace time down to
+    ``min_size``).  Used by the lml_core backward where K^{-1} = W^T W
+    with W = inv(L).
+    """
+    n = W.shape[-1]
+    if n <= min_size or n % 2 != 0 or (n // 2) % 8 != 0:
+        return jax.lax.dot_general(
+            W, W, (((0,), (0,)), ((), ())),
+            preferred_element_type=W.dtype, precision=precision,
+        )
+    h = n // 2
+    W1 = W[:h, :h]
+    W2 = W[h:, :h]
+    W3 = W[h:, h:]
+    top_left = syrk_lower_t(W1, precision, min_size) + jax.lax.dot_general(
+        W2, W2, (((0,), (0,)), ((), ())),
+        preferred_element_type=W.dtype, precision=precision,
+    )
+    off = jax.lax.dot_general(
+        W2, W3, (((0,), (0,)), ((), ())),
+        preferred_element_type=W.dtype, precision=precision,
+    )  # (h, h) = W2^T W3
+    bottom_right = syrk_lower_t(W3, precision, min_size)
+    top = jnp.concatenate([top_left, off], axis=1)
+    bottom = jnp.concatenate([off.T, bottom_right], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def _phi(A: Array) -> Array:
     """tril(A) with the diagonal halved — the Cholesky pullback projector.
 
@@ -1072,10 +1129,7 @@ def _lml_core_bwd(block, precision, res, g):
     # backward is traced outside any ambient context a caller's function
     # body established (see _chol_bwd note).
     W = blocked_tril_inv(L, block, invs, precision)
-    Kinv = jax.lax.dot_general(
-        W, W, (((0,), (0,)), ((), ())), preferred_element_type=W.dtype,
-        precision=precision,
-    )
+    Kinv = syrk_lower_t(W, precision)
     Kbar = (0.5 * g) * (jnp.outer(alpha, alpha) - Kinv)
     ybar = -g * alpha
     return Kbar, ybar

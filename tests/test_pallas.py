@@ -419,3 +419,51 @@ class TestExplicitPrecisionArg:
         assert not linalg._rescue_engaged(1 << 20, "float32")
         assert not linalg._rescue_engaged(1 << 20, "tensorfloat32")
         assert linalg._rescue_engaged(1 << 20, "default")
+
+
+class TestPanelRank:
+    """The tile kernels' panel rank is a pure performance knob: any
+    multiple of 8 must produce the identical factorization."""
+
+    @pytest.mark.parametrize("rank", [8, 16, 32])
+    def test_tile_rank_equivalence(self, rank):
+        K = spd(64, seed=11)
+        with cp.force_interpret():
+            L = np.asarray(cp.pallas_cholesky_tile(K, rank=rank))
+        assert np.allclose(L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-9)
+
+    @pytest.mark.parametrize("rank", [8, 16, 32])
+    def test_tile_inv_rank_equivalence(self, rank):
+        K = spd(64, seed=12)
+        with cp.force_interpret():
+            L, V = cp.pallas_cholesky_inv_tile(K, rank=rank)
+        assert np.allclose(
+            np.asarray(V) @ np.asarray(L), np.eye(64), atol=1e-8
+        )
+
+    def test_non_divisible_rank_falls_back(self):
+        # tile of 8 with _PANEL_RANK 32 must silently use rank 8
+        K = spd(8, seed=13)
+        prev = cp._PANEL_RANK
+        cp._PANEL_RANK = 32
+        try:
+            with cp.force_interpret():
+                L = np.asarray(cp.pallas_cholesky_tile(K))
+        finally:
+            cp._PANEL_RANK = prev
+        assert np.allclose(L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-10)
+
+
+class TestSyrkLowerT:
+    @pytest.mark.parametrize("n,ms", [(64, 16), (96, 32), (256, 64)])
+    def test_matches_dense(self, n, ms):
+        rng = np.random.default_rng(21)
+        W = jnp.asarray(np.tril(rng.normal(size=(n, n))))
+        got = np.asarray(cp.syrk_lower_t(W, min_size=ms))
+        assert np.allclose(got, np.asarray(W.T @ W), atol=1e-10)
+
+    def test_odd_size_falls_back_dense(self):
+        rng = np.random.default_rng(22)
+        W = jnp.asarray(np.tril(rng.normal(size=(24, 24))))
+        got = np.asarray(cp.syrk_lower_t(W, min_size=8))
+        assert np.allclose(got, np.asarray(W.T @ W), atol=1e-12)

@@ -30,6 +30,20 @@ path.  Design (SURVEY.md §7 PR2):
   standard pullback K_bar = P(L^-T Phi(L^T L_bar) L^-1) with blocked
   TRSMs, for callers differentiating through ``linalg.cholesky`` itself.
 
+- **Fused whole-matrix kernel** (``fused_cholesky_invs``, round 3): the
+  entire left-looking factorization as ONE sequential-grid program with L
+  resident in a VMEM scratch — no inter-step HBM round trips.  Wins 3.7x
+  over the stepwise driver for unbatched n < 2048 (where per-step launch
+  overhead dominates); at larger n the serial diagonal substep chain
+  dominates both drivers equally, and under vmap batched XLA Cholesky
+  wins outright — so dispatch is batching-aware via custom_vmap
+  (unbatched small-n -> fused kernel; batched lml forward -> XLA batched
+  Cholesky + vmapped Pallas tile inversions; everything else -> stepwise).
+
+- **Triangular SYRK** (``syrk_lower_t``, round 3): K^{-1} = W^T W in the
+  lml backward via recursive 2x2 splitting of the triangular W — ~2n^3/3
+  flops in large MXU matmuls, measured 2.5x over the dense dot at n=4096.
+
 Block loops unroll statically up to ``_MAX_UNROLL_STEPS`` (exact trailing
 slices); larger step counts switch to fori_loop + dynamic slices (the
 unrolled 16k gradient graph stalls XLA's optimizer).
@@ -384,6 +398,190 @@ def pallas_tril_inv_tile(L: Array, precision: str | None = None) -> Array:
     )(L)
 
 
+def _factor_tile_refs(m_ref, l_ref, v_ref, rank: int, prec) -> None:
+    """chol + inverse of the tile preloaded in ``m_ref`` into l_ref/v_ref.
+
+    The body of ``_chol_inv_kernel`` as a helper over refs so the fused
+    whole-matrix kernel can run it on its own scratch tiles (Mosaic has no
+    dynamic_slice on VALUES; all slab access must go through refs).
+    ``m_ref`` is consumed as the working buffer.
+    """
+    n = m_ref.shape[0]
+    dtype = m_ref.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rank, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rank, n), 1)
+    l_ref[:] = jnp.zeros((n, n), dtype)
+    v_ref[:] = jnp.zeros((n, n), dtype)
+
+    def panel(s, _):
+        r0 = s * rank
+        S = m_ref[pl.ds(r0, rank), :]
+        E = jnp.where(cols == r0 + rows, 1.0, 0.0).astype(dtype)
+        Lslab = l_ref[pl.ds(r0, rank), :]
+        T = E - jax.lax.dot_general(
+            Lslab, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
+        )
+        W = jnp.zeros_like(S)
+        U = jnp.zeros_like(T)
+        for i in range(rank):
+            c = r0 + i
+            row_s = jnp.sum(jnp.where(rows == i, S, 0.0), axis=0, keepdims=True)
+            row_t = jnp.sum(jnp.where(rows == i, T, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(cols[:1, :] == c, row_s, 0.0))
+            inv_sqrt = jax.lax.rsqrt(d)
+            w = jnp.where(cols[:1, :] >= c, row_s * inv_sqrt, 0.0)
+            u = row_t * inv_sqrt
+            cvec = jnp.sum(jnp.where(cols == r0 + rows, w, 0.0), axis=1, keepdims=True)
+            cvec = jnp.where(rows[:, :1] > i, cvec, 0.0)
+            S = S - cvec * w
+            T = T - cvec * u
+            W = W + jnp.where(rows == i, w, 0.0)
+            U = U + jnp.where(rows == i, u, 0.0)
+        m_ref[:] = m_ref[:] - jax.lax.dot_general(
+            W, W, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
+        )
+        Esel = jnp.where(cols == r0 + rows, 1.0, 0.0).astype(dtype)
+        l_ref[:] = l_ref[:] + jax.lax.dot_general(
+            W, Esel, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
+        )
+        v_ref[pl.ds(r0, rank), :] = U
+        return 0
+
+    jax.lax.fori_loop(0, n // rank, panel, 0)
+
+
+def _fused_chol_kernel(
+    k_ref, l_ref, inv_ref, lbuf, ck, mt, lt, vt, *, block, rank, precision=None
+):
+    """Whole-matrix left-looking Cholesky as ONE sequential-grid program.
+
+    Grid step k computes block column k of L with the factor-so-far
+    resident in a VMEM scratch (``lbuf``):
+
+      Ck    = K[:, c0:c1] - sum_{j<k} L[:, j] @ L[c0:c1, j]^T   (MXU dots)
+      Ltile, Vtile = chol+inv of Ck[c0:c1]                       (substeps)
+      L[:, k] = [0; Ltile; Ck_below @ Vtile^T]
+
+    versus the XLA-level blocked driver, this removes every inter-step
+    HBM round trip and .at[].set copy: K streams in once as column
+    blocks, L streams out once, and all O(n^3) work happens against
+    VMEM-resident operands with full-depth (c0-deep) MXU contractions.
+    The accumulation loop reads lbuf column blocks at 256-aligned lane
+    offsets (Mosaic: dynamic lane slicing must be 128-aligned).
+    """
+    k = pl.program_id(0)
+    n = lbuf.shape[0]
+    b = block
+    c0 = k * b
+    dtype = k_ref.dtype
+    prec = _kernel_precision(precision)
+
+    @pl.when(k == 0)
+    def _():
+        lbuf[:] = jnp.zeros_like(lbuf)
+
+    def body(j, acc):
+        lcol = lbuf[:, pl.ds(j * b, b)]  # (n, b)
+        lrow = lbuf[pl.ds(c0, b), pl.ds(j * b, b)]  # (b, b)
+        return acc + jax.lax.dot_general(
+            lcol, lrow, (((1,), (1,)), ((), ())), preferred_element_type=dtype,
+            precision=prec,
+        )
+
+    acc = jax.lax.fori_loop(0, k, body, jnp.zeros((n, b), dtype))
+    ck[:] = k_ref[:] - acc
+    mt[:] = ck[pl.ds(c0, b), :]  # (b, b) diagonal tile
+    _factor_tile_refs(mt, lt, vt, rank, prec)
+    P = jax.lax.dot_general(
+        ck[:], vt[:], (((1,), (1,)), ((), ())), preferred_element_type=dtype,
+        precision=prec,
+    )  # (n, b) = Ck @ Vtile^T; only rows >= c1 are meaningful
+    rowsid = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
+    l_ref[:] = jnp.where(rowsid >= c0 + b, P, 0.0)
+    l_ref[pl.ds(c0, b), :] = lt[:]
+    lbuf[:, pl.ds(c0, b)] = l_ref[:]
+    inv_ref[0] = vt[:]
+
+
+# Size gate for the fused whole-matrix kernel.  Measured (v5e f32,
+# benchmarks/r3_experiments.py methodology): n=1024 fused 0.148 ms vs
+# 0.553 ms stepwise (3.7x); n=2048 0.494 vs 0.421 (tie/loss); n=4096
+# 1.783 vs 1.419 (loss).  At large n the factorization cost is the
+# inherently serial diagonal substep chain (~n dependent rsqrt+reduce
+# steps), which both drivers pay equally, while the fused kernel's
+# left-looking accumulation cannot overlap across grid steps the way
+# XLA pipelines the stepwise driver's independent matmuls.  Below ~2k
+# the stepwise driver is dispatch/launch-bound and whole-program fusion
+# wins big.  (VMEM would cap the resident-L scratch near n=4608 anyway.)
+_FUSED_MAX_N = 2047
+_FUSED_WHOLE = True  # dispatch blocked_cholesky_invs through the fused kernel
+
+
+@contextlib.contextmanager
+def no_fused_whole():
+    """Force the stepwise XLA-level blocked driver (A/B timing or VMEM
+    pressure escape hatch)."""
+    global _FUSED_WHOLE
+    prev, _FUSED_WHOLE = _FUSED_WHOLE, False
+    try:
+        yield
+    finally:
+        _FUSED_WHOLE = prev
+
+
+def fused_cholesky_invs(
+    K: Array, block: int = DEFAULT_BLOCK, precision: str | None = None,
+    rank: int | None = None,
+) -> tuple[Array, Array]:
+    """(L, tile inverses) via the single-program left-looking kernel."""
+    n = K.shape[-1]
+    if n % block != 0:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    rank = _PANEL_RANK if rank is None else rank
+    if block % rank != 0:
+        rank = 8
+    nb = n // block
+    L, invs = pl.pallas_call(
+        functools.partial(
+            _fused_chol_kernel, block=block, rank=rank, precision=precision
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((n, block), lambda k: (0, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, block), lambda k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, block), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), K.dtype),
+            jax.ShapeDtypeStruct((nb, block, block), K.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), K.dtype),  # resident L
+            pltpu.VMEM((n, block), K.dtype),  # current column Ck
+            pltpu.VMEM((block, block), K.dtype),  # tile working M
+            pltpu.VMEM((block, block), K.dtype),  # tile L
+            pltpu.VMEM((block, block), K.dtype),  # tile inv
+        ],
+        interpret=_INTERPRET,
+        # the resident-L scratch needs most of the chip's 128 MB VMEM;
+        # the default scoped-vmem limit is 16 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * n * n // 3,
+            bytes_accessed=2 * n * n * K.dtype.itemsize,
+            transcendentals=n,
+        ),
+    )(K)
+    return L, invs
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -423,6 +621,36 @@ def blocked_cholesky_invs(
             f"block={block} must be a multiple of 8 (the tile kernels "
             "factor in rank-8 slabs)"
         )
+    use_fused = _INTERPRET or _on_tpu()
+    if use_fused and _FUSED_WHOLE and n <= _FUSED_MAX_N and block % 8 == 0:
+        # single-program left-looking kernel: L resident in VMEM, no
+        # inter-step HBM round trips.  UNBATCHED calls only: under vmap
+        # the grid serializes the batch through one core and the fused
+        # form loses its launch-amortization edge (measured: B=8 n=1024
+        # fused 2.53 ms vs stepwise 2.35 ms, while unbatched is 0.148 vs
+        # 0.553) — custom_vmap reroutes batched calls to the stepwise
+        # driver, whose tile kernels batch fine.
+        @jax.custom_batching.custom_vmap
+        def f(K):
+            return fused_cholesky_invs(K, block, precision)
+
+        @f.def_vmap
+        def _(axis_size, in_batched, Kb):
+            out = jax.vmap(
+                lambda k: _stepwise_cholesky_invs(k, block, precision)
+            )(Kb)
+            return out, (True, True)
+
+        return f(K)
+    return _stepwise_cholesky_invs(K, block, precision)
+
+
+def _stepwise_cholesky_invs(
+    K: Array, block: int, precision: str | None = None
+) -> tuple[Array, Array]:
+    """The XLA-level right-looking block loop (see
+    :func:`blocked_cholesky_invs` for the contract)."""
+    n = K.shape[-1]
     nb = n // block
     dtype = K.dtype
     use_fused = _INTERPRET or _on_tpu()
@@ -1085,8 +1313,30 @@ def maybe_pallas_cholesky(K: Array, precision: str | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _chol_invs_for_lml(K: Array, block: int, precision: str | None = None):
+    """Factorization + tile inverses for the lml core, batching-aware.
+
+    Unbatched: the blocked/fused Pallas drivers.  Under vmap: XLA's native
+    batched Cholesky (measured faster than the serialized-grid Pallas
+    drivers on batches — B=8 n=1024: 1.66 vs 2.40 ms) + vmapped Pallas
+    tile inversions for the solves' diagonal-tile inverses.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def f(K):
+        return blocked_cholesky_invs(K, block, precision)
+
+    @f.def_vmap
+    def _(axis_size, in_batched, Kb):
+        L = jnp.linalg.cholesky(Kb)
+        invs = jax.vmap(lambda l: _tile_invs(l, block, precision))(L)
+        return (L, invs), (True, True)
+
+    return f(K)
+
+
 def _lml_core_impl(K: Array, y: Array, block: int, precision: str | None = None):
-    L, invs = blocked_cholesky_invs(K, block, precision)
+    L, invs = _chol_invs_for_lml(K, block, precision)
     n = K.shape[-1]
     # streaming solves reuse the tile inverses the factorization already
     # produced.  The 1-D panel form keeps a (block, n) L panel in VMEM per

@@ -467,3 +467,52 @@ class TestSyrkLowerT:
         W = jnp.asarray(np.tril(rng.normal(size=(24, 24))))
         got = np.asarray(cp.syrk_lower_t(W, min_size=8))
         assert np.allclose(got, np.asarray(W.T @ W), atol=1e-12)
+
+
+class TestFusedWholeMatrix:
+    """The single-program left-looking factorization (fused_cholesky_invs)
+    must be exactly interchangeable with the stepwise driver."""
+
+    @pytest.mark.parametrize("n,block", [(64, 16), (96, 32), (256, 64)])
+    def test_matches_xla(self, n, block):
+        K = spd(n, seed=31)
+        with cp.force_interpret():
+            L, invs = cp.fused_cholesky_invs(K, block, rank=8)
+        Lx = np.asarray(jnp.linalg.cholesky(K))
+        assert np.allclose(np.asarray(L), Lx, atol=1e-9)
+        for k in range(n // block):
+            tile = Lx[k * block:(k + 1) * block, k * block:(k + 1) * block]
+            assert np.allclose(
+                np.asarray(invs[k]) @ tile, np.eye(block), atol=1e-8
+            )
+
+    def test_dispatch_routes_and_matches(self):
+        # blocked_cholesky_invs routes small-n to the fused kernel...
+        K = spd(128, seed=32)
+        with cp.force_interpret():
+            L1, i1 = cp.blocked_cholesky_invs(K, 32)
+            with cp.no_fused_whole():
+                L2, i2 = cp.blocked_cholesky_invs(K, 32)
+        assert np.allclose(np.asarray(L1), np.asarray(L2), atol=1e-9)
+        assert np.allclose(np.asarray(i1), np.asarray(i2), atol=1e-8)
+
+    def test_vmap_reroutes_to_stepwise(self):
+        # batched calls take the stepwise driver via custom_vmap; values
+        # must match the per-example fused results
+        rng = np.random.default_rng(33)
+        A = rng.normal(size=(3, 64, 64)) / 8.0
+        Ks = jnp.asarray(np.einsum("bij,bkj->bik", A, A) + np.eye(64))
+        with cp.force_interpret():
+            Ls, _ = jax.vmap(lambda K: cp.blocked_cholesky_invs(K, 16))(Ks)
+        Lx = np.asarray(jax.vmap(jnp.linalg.cholesky)(Ks))
+        assert np.allclose(np.asarray(Ls), Lx, atol=1e-9)
+
+    def test_gradient_flows_through_dispatch(self):
+        K = spd(64, seed=34)
+        y = jnp.asarray(np.random.default_rng(35).normal(size=64))
+        with cp.force_interpret():
+            v1, g1 = jax.value_and_grad(lambda K: cp.lml_core(K, y, 16))(K)
+            with cp.no_fused_whole():
+                v2, g2 = jax.value_and_grad(lambda K: cp.lml_core(K, y, 16))(K)
+        assert np.isclose(float(v1), float(v2), rtol=1e-10)
+        assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)

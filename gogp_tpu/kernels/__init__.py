@@ -1,4 +1,11 @@
 from gogp_tpu.kernels.base import Kernel, NoiseKernel  # noqa: F401
+from gogp_tpu.kernels.multioutput import (  # noqa: F401
+    icm,
+    init_icm_theta,
+    lmc,
+    stack_tasks,
+    task_inputs,
+)
 from gogp_tpu.kernels.noise import (  # noqa: F401
     constant_noise,
     jitter_only_noise,

@@ -1119,6 +1119,72 @@ def blocked_trsm_lower_t(
     return X
 
 
+def _tril_mask(n: int, dtype) -> Array:
+    """Lower-triangular 0/1 mask via iota comparison (no scatters)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r >= c).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def trsm_lower_ad(L: Array, B: Array, block: int, precision: str | None) -> Array:
+    """X = L^{-1} B (2-D B) — :func:`blocked_trsm_lower` with an analytic
+    VJP so differentiated callers (e.g. the SGPR bound, gp/sparse.py, whose
+    m x n whitening solve is this op) can use the blocked MXU path.
+
+    From X = L^{-1} B:  dX = -L^{-1} dL X + L^{-1} dB, so
+
+        Bbar = L^{-T} Xbar            (one transpose blocked solve)
+        Lbar = -tril(Bbar X^T)        (one MXU matmul)
+
+    (tril because only the lower triangle of L participates).
+    """
+    return blocked_trsm_lower(L, B, block, precision)
+
+
+def _trsm_lower_ad_fwd(L, B, block, precision):
+    X = blocked_trsm_lower(L, B, block, precision)
+    return X, (L, X)
+
+
+def _trsm_lower_ad_bwd(block, precision, res, Xbar):
+    L, X = res
+    Bbar = blocked_trsm_lower_t(L, Xbar, block, precision)
+    Lbar = -jnp.matmul(Bbar, X.T, precision=precision) * _tril_mask(
+        L.shape[-1], L.dtype
+    )
+    return Lbar, Bbar
+
+
+trsm_lower_ad.defvjp(_trsm_lower_ad_fwd, _trsm_lower_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def trsm_lower_t_ad(L: Array, B: Array, block: int, precision: str | None) -> Array:
+    """X = L^{-T} B (2-D B) with the analytic VJP (mirror of
+    :func:`trsm_lower_ad`):  Bbar = L^{-1} Xbar,  Lbar = -tril(X Bbar^T)."""
+    return blocked_trsm_lower_t(L, B, block, precision)
+
+
+def _trsm_lower_t_ad_fwd(L, B, block, precision):
+    X = blocked_trsm_lower_t(L, B, block, precision)
+    return X, (L, X)
+
+
+def _trsm_lower_t_ad_bwd(block, precision, res, Xbar):
+    L, X = res
+    Bbar = blocked_trsm_lower(L, Xbar, block, precision)
+    # from dX = -L^{-T} dL^T X + L^{-T} dB:
+    #   <Xbar, -L^{-T} dL^T X> = <dL, -X (L^{-1} Xbar)^T> = <dL, -X Bbar^T>
+    Lbar = -jnp.matmul(X, Bbar.T, precision=precision) * _tril_mask(
+        L.shape[-1], L.dtype
+    )
+    return Lbar, Bbar
+
+
+trsm_lower_t_ad.defvjp(_trsm_lower_t_ad_fwd, _trsm_lower_t_ad_bwd)
+
+
 def _tril_inv_fori(
     L: Array, block: int, invs: Array, precision: str | None = None
 ) -> Array:

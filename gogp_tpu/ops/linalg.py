@@ -235,13 +235,10 @@ def cho_solve_mat(L: Array, B: Array) -> Array:
     """
     block = _blocked_trsm_block(L)
     if block is not None and B.ndim == 2:
-        from gogp_tpu.ops.cholesky_pallas import (
-            blocked_trsm_lower,
-            blocked_trsm_lower_t,
-        )
+        from gogp_tpu.ops.cholesky_pallas import trsm_lower_ad, trsm_lower_t_ad
 
-        Z = blocked_trsm_lower(L, B, block)
-        return blocked_trsm_lower_t(L, Z, block)
+        Z = trsm_lower_ad(L, B, block, None)
+        return trsm_lower_t_ad(L, Z, block, None)
     Z = solve_triangular(L, B, lower=True)
     return solve_triangular(L, Z, lower=True, trans=1)
 
@@ -250,10 +247,28 @@ def trsm_lower(L: Array, B: Array) -> Array:
     """L^{-1} B — the half-solve used by fused predictive variance."""
     block = _blocked_trsm_block(L)
     if block is not None and B.ndim == 2:
-        from gogp_tpu.ops.cholesky_pallas import blocked_trsm_lower
+        from gogp_tpu.ops.cholesky_pallas import trsm_lower_ad
 
-        return blocked_trsm_lower(L, B, block)
+        return trsm_lower_ad(L, B, block, None)
     return solve_triangular(L, B, lower=True)
+
+
+def tril_inv(L: Array, precision: str | None = None) -> Array:
+    """W = inv(L) for lower-triangular L — the serving-cache precompute
+    (gp/serve.py): spend one O(n^3/3) inversion at fit time so every later
+    predictive solve is a single MXU matmul instead of a sequential TRSM.
+
+    Dispatches to the blocked triangular inverse (tile inverses from the
+    Pallas substitution kernel, trailing products only over the nonzero
+    corner) when the factor is blocked-eligible; XLA solve otherwise.
+    """
+    block = _blocked_trsm_block(L)
+    if block is not None:
+        from gogp_tpu.ops.cholesky_pallas import blocked_tril_inv
+
+        return blocked_tril_inv(L, block, precision=precision)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return solve_triangular(L, eye, lower=True)
 
 
 def logdet_from_chol(L: Array, mask: Array | None = None) -> Array:

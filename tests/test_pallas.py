@@ -516,3 +516,62 @@ class TestFusedWholeMatrix:
                 v2, g2 = jax.value_and_grad(lambda K: cp.lml_core(K, y, 16))(K)
         assert np.isclose(float(v1), float(v2), rtol=1e-10)
         assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+class TestTrsmVJP:
+    """Analytic custom VJPs of the blocked TRSMs (trsm_lower_ad /
+    trsm_lower_t_ad) vs differentiating XLA's solve_triangular — these are
+    what lets differentiated callers (the SGPR bound's whitening solve,
+    gp/sparse.py:113) use the blocked MXU path."""
+
+    @pytest.mark.parametrize("fwd", [True, False])
+    def test_grads_match_xla(self, fwd):
+        from jax.scipy.linalg import solve_triangular
+
+        rng = np.random.default_rng(41)
+        n, m = 64, 24
+        a = rng.normal(size=(n, n))
+        L = jnp.linalg.cholesky(jnp.asarray(a @ a.T + n * np.eye(n)))
+        B = jnp.asarray(rng.normal(size=(n, m)))
+
+        with cp.force_interpret():
+            if fwd:
+                ours = lambda L, B: jnp.sum(jnp.sin(cp.trsm_lower_ad(L, B, 16, None)))
+                xla = lambda L, B: jnp.sum(
+                    jnp.sin(solve_triangular(L, B, lower=True))
+                )
+            else:
+                ours = lambda L, B: jnp.sum(
+                    jnp.sin(cp.trsm_lower_t_ad(L, B, 16, None))
+                )
+                xla = lambda L, B: jnp.sum(
+                    jnp.sin(solve_triangular(L, B, lower=True, trans=1))
+                )
+            g1 = jax.grad(ours, argnums=(0, 1))(L, B)
+        g2 = jax.grad(xla, argnums=(0, 1))(L, B)
+        assert np.allclose(np.tril(np.asarray(g1[0])), np.tril(np.asarray(g2[0])), atol=1e-9)
+        assert np.allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-9)
+
+    def test_cho_solve_mat_grad(self):
+        # the composed K^{-1}B path (two chained custom VJPs)
+        from jax.scipy.linalg import solve_triangular
+
+        rng = np.random.default_rng(42)
+        n, m = 64, 8
+        a = rng.normal(size=(n, n))
+        L = jnp.linalg.cholesky(jnp.asarray(a @ a.T + n * np.eye(n)))
+        B = jnp.asarray(rng.normal(size=(n, m)))
+
+        def ours(L, B):
+            Z = cp.trsm_lower_ad(L, B, 16, None)
+            return jnp.sum(jnp.cos(cp.trsm_lower_t_ad(L, Z, 16, None)))
+
+        def xla(L, B):
+            Z = solve_triangular(L, B, lower=True)
+            return jnp.sum(jnp.cos(solve_triangular(L, Z, lower=True, trans=1)))
+
+        with cp.force_interpret():
+            g1 = jax.grad(ours, argnums=(0, 1))(L, B)
+        g2 = jax.grad(xla, argnums=(0, 1))(L, B)
+        assert np.allclose(np.tril(np.asarray(g1[0])), np.tril(np.asarray(g2[0])), atol=1e-9)
+        assert np.allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-9)

@@ -1,0 +1,108 @@
+"""Serving caches (gp/serve.py) vs the exact predict path.
+
+The serving layer must be *semantically invisible*: compile_posterior +
+serve_predict is the same function as predict_from_posterior (reference
+Produce, gp/gp.go:258-360), just restructured for MXU serving; the mixture
+cache must reproduce gp.core.predict_mixture's moments.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gogp_tpu.gp import core, serve
+from gogp_tpu.kernels import matern32, rbf, uniform_noise
+
+
+def _problem(n=40, seed=0):
+    gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 10.0, size=(n, 1)), axis=0)
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=n)
+    return gp, jnp.asarray(x), jnp.asarray(y)
+
+
+class TestServePredict:
+    def test_matches_exact_predict(self):
+        gp, x, y = _problem()
+        post = core.absorb(gp, jnp.array([1.0, 0.7]), jnp.array([0.3]), x, y)
+        sp = serve.compile_posterior(gp, post)
+        z = jnp.linspace(-1.0, 11.0, 33)[:, None]
+        mu1, s1 = serve.serve_predict(gp, sp, z)
+        mu2, s2 = core.predict_from_posterior(gp, post, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-8)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+
+    def test_fit_serving_one_shot(self):
+        gp, x, y = _problem(seed=1)
+        sp = serve.fit_serving(gp, jnp.array([1.0, 1.0]), jnp.array([0.2]), x, y)
+        mu1, s1 = serve.serve_predict(gp, sp, x[:5])
+        mu2, s2 = core.predict(gp, jnp.array([1.0, 1.0]), jnp.array([0.2]), x, y, x[:5])
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-8)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+
+    def test_padding_invisible(self):
+        # padded rows must not leak into served predictions
+        gp, x, y = _problem(n=24, seed=2)
+        n_pad = 8
+        xp = jnp.concatenate([x, jnp.zeros((n_pad, 1))])
+        yp = jnp.concatenate([y, jnp.zeros(n_pad)])
+        mask = jnp.concatenate([jnp.ones(24), jnp.zeros(n_pad)])
+        z = jnp.linspace(0.0, 10.0, 17)[:, None]
+        sp = serve.fit_serving(gp, jnp.array([0.8, 1.2]), jnp.array([0.3]), xp, yp, mask)
+        mu1, s1 = serve.serve_predict(gp, sp, z)
+        sp0 = serve.fit_serving(gp, jnp.array([0.8, 1.2]), jnp.array([0.3]), x, y)
+        mu2, s2 = serve.serve_predict(gp, sp0, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-7)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+
+    def test_no_observations_prior_fallback(self):
+        # all-padding: mu = 0, sigma = prior std (gp/gp.go:343-347)
+        gp, x, y = _problem(n=8, seed=3)
+        mask = jnp.zeros(8)
+        sp = serve.fit_serving(gp, jnp.array([0.5, 0.9]), jnp.array([0.1]), x, y, mask)
+        z = jnp.linspace(0.0, 5.0, 9)[:, None]
+        mu, s = serve.serve_predict(gp, sp, z)
+        mu0, s0 = core.predict_prior(gp, jnp.array([0.5, 0.9]), z)
+        assert np.allclose(np.asarray(mu), 0.0, atol=1e-9)
+        assert np.allclose(np.asarray(s), np.asarray(s0), atol=1e-8)
+
+    def test_jit_and_checkpoint_roundtrip(self, tmp_path):
+        from gogp_tpu.utils import checkpoint
+
+        gp, x, y = _problem(seed=4)
+        sp = serve.fit_serving(gp, jnp.array([1.0, 0.5]), jnp.array([0.4]), x, y)
+        z = jnp.linspace(0.0, 10.0, 16)[:, None]
+        mu1, s1 = jax.jit(lambda sp, z: serve.serve_predict(gp, sp, z))(sp, z)
+        checkpoint.save(tmp_path / "sp", sp)
+        sp2 = checkpoint.restore(tmp_path / "sp", like=sp)
+        mu2, s2 = serve.serve_predict(gp, sp2, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-12)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-12)
+
+
+class TestServeMixture:
+    def test_matches_predict_mixture(self):
+        gp, x, y = _problem(n=28, seed=5)
+        rng = np.random.default_rng(6)
+        vs = jnp.asarray(0.3 * rng.normal(size=(7, gp.n_theta)))
+        z = jnp.linspace(-0.5, 10.5, 21)[:, None]
+        sm = serve.compile_mixture(gp, vs, x, y)
+        mu1, s1 = serve.serve_predict_mixture(gp, sm, z)
+        mu2, s2 = core.predict_mixture(gp, vs, x, y, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-7)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+    def test_different_kernel(self):
+        gp = core.GP(ndim=1, simil=matern32.scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(np.sort(rng.uniform(0, 6, (20, 1)), axis=0))
+        y = jnp.asarray(np.cos(np.asarray(x[:, 0])))
+        vs = jnp.asarray(0.2 * rng.normal(size=(4, gp.n_theta)))
+        sm = serve.compile_mixture(gp, vs, x, y)
+        z = x[::3]
+        mu1, s1 = serve.serve_predict_mixture(gp, sm, z)
+        mu2, s2 = core.predict_mixture(gp, vs, x, y, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-7)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)

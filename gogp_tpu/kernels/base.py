@@ -102,6 +102,20 @@ class Kernel:
 
         return Kernel(a.n_theta + b.n_theta, pair, f"({a.name}*{b.name})")
 
+    def ard(self, ndim: int) -> "Kernel":
+        """Automatic relevance determination: per-dimension lengthscales.
+
+        Prepends ``ndim`` positive thetas l_1..l_d and evaluates the kernel
+        on x / l — so any stationary kernel becomes anisotropic
+        (k(|x - x'|_W) with W = diag(1/l^2)).  The reference only ever sees
+        1-D inputs (SURVEY §2 C3) so it has no counterpart; for real
+        multi-dimensional regression ARD is table stakes.  The base
+        kernel's own scalar lengthscale remains as a global factor — the
+        usual mild over-parameterization; pin it via priors or leave Adam
+        to resolve it.
+        """
+        return self.warp_inputs(lambda w, x: x / w, extra_theta=ndim)
+
     def warp_inputs(self, warp: Callable[[Array], Array], extra_theta: int = 0) -> "Kernel":
         """Apply ``warp(x)`` (optionally consuming ``extra_theta`` leading
         thetas as ``warp(theta, x)``) to both inputs before the kernel."""

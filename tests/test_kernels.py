@@ -167,3 +167,50 @@ def test_new_kernels_psd():
         K = np.asarray(k.matrix(theta, x, x))
         eig = np.linalg.eigvalsh(K + 1e-10 * np.eye(12))
         assert eig.min() > -1e-8, (k.name, eig.min())
+
+
+class TestARD:
+    """Per-dimension lengthscales via Kernel.ard (no reference counterpart —
+    the reference only ever sees 1-D inputs)."""
+
+    def test_matches_manual_anisotropic_rbf(self):
+        import numpy as np
+        from gogp_tpu.kernels import rbf
+
+        k = rbf.ard(2)
+        assert k.n_theta == 3  # [l1, l2, base l]
+        ls = np.array([0.5, 3.0])
+        theta = jnp.asarray([ls[0], ls[1], 1.0])
+        rng = np.random.default_rng(0)
+        xa, xb = rng.normal(size=(2, 2))
+        got = float(k(theta, jnp.asarray(xa), jnp.asarray(xb)))
+        d2 = float(np.sum(((xa - xb) / ls) ** 2))
+        assert abs(got - np.exp(-d2 / 2)) < 1e-12
+
+    def test_unit_lengthscales_equal_isotropic(self):
+        import numpy as np
+        from gogp_tpu.kernels import matern32
+
+        k = matern32.ard(3)
+        rng = np.random.default_rng(1)
+        xa, xb = rng.normal(size=(2, 3))
+        got = float(k(jnp.asarray([1.0, 1.0, 1.0, 0.8]), jnp.asarray(xa), jnp.asarray(xb)))
+        want = float(matern32(jnp.asarray([0.8]), jnp.asarray(xa), jnp.asarray(xb)))
+        assert abs(got - want) < 1e-12
+
+    def test_fd_gradient_through_gp(self):
+        import numpy as np
+        from gogp_tpu.gp.core import GP
+        from gogp_tpu.kernels import rbf, uniform_noise
+        from gogp_tpu.models.params import gp_observe
+
+        gp = GP(ndim=2, simil=rbf.ard(2).scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(0, 3, size=(12, 2)))
+        y = jnp.asarray(np.sin(np.asarray(x[:, 0])))
+        v0 = jnp.asarray(0.1 * rng.normal(size=gp.n_theta))
+        val, grad = jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v0)
+        eps = 1e-7
+        for i in range(gp.n_theta):
+            fd = (float(gp_observe(gp, v0.at[i].add(eps), x=x, y=y)) - float(val)) / eps
+            assert abs(fd - float(grad[i])) < 1e-3

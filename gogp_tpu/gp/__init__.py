@@ -19,7 +19,14 @@ from gogp_tpu.gp.serve import (  # noqa: F401
     compile_posterior,
     fit_serving,
     serve_predict,
+    serve_predict_cov,
     serve_predict_mixture,
+    serve_sample,
+)
+from gogp_tpu.gp.streaming import (  # noqa: F401
+    absorb_append,
+    absorb_stream,
+    streaming_posterior,
 )
 from gogp_tpu.gp.sparse import (  # noqa: F401
     SGPRPosterior,

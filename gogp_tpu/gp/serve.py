@@ -114,6 +114,53 @@ def serve_predict(
     return mu, sigma
 
 
+def serve_predict_cov(
+    gp: GP, sp: ServingPosterior, z, precision: str | None = None
+) -> tuple[Array, Array]:
+    """Predictive mean and FULL joint covariance at ``z`` (m x m).
+
+    The reference materializes this internally and throws away everything
+    but the diagonal (gp/gp.go:337-342); joint bands / trajectory risk
+    need the whole thing:  cov = Kzz - v^T v  with v = W Kstar.  Noise-free
+    latent-f covariance, consistent with :func:`serve_predict`.
+    """
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    kzz = gp.simil.matrix(sp.theta_simil, z, z)
+    kstar = gp.simil.matrix(sp.theta_simil, sp.x, z) * sp.mask[:, None]
+    mu = jnp.matmul(kstar.T, sp.alpha, precision=precision)
+    v = jnp.matmul(sp.w, kstar, precision=precision)
+    cov = kzz - jnp.matmul(v.T, v, precision=precision)
+    return mu, cov
+
+
+def serve_sample(
+    gp: GP,
+    sp: ServingPosterior,
+    z,
+    key,
+    num_samples: int = 1,
+    jitter: float = 1e-8,
+    precision: str | None = None,
+) -> Array:
+    """Joint posterior function draws f(z) ~ N(mu, cov) — (num_samples, m).
+
+    The feature the reference's marginal-sigma Produce cannot express:
+    coherent sampled trajectories (needed for Thompson sampling, joint
+    exceedance probabilities, scenario generation).  O(m^3) for the m x m
+    factorization; use batches of moderate m.
+    """
+    mu, cov = serve_predict_cov(gp, sp, z, precision)
+    m = mu.shape[0]
+    scale = jnp.mean(jnp.diagonal(cov)) + 1.0
+    chol = jnp.linalg.cholesky(
+        cov + (jitter * scale) * jnp.eye(m, dtype=cov.dtype)
+    )
+    eps = jax.random.normal(key, (num_samples, m), dtype=mu.dtype)
+    return mu[None, :] + jnp.matmul(eps, chol.T, precision=precision)
+
+
 class ServingMixture(NamedTuple):
     """S stacked serving posteriors — the compiled form of a sampler chain
     over hyperparameters (every leaf carries a leading draw axis)."""
@@ -188,5 +235,7 @@ __all__ = [
     "compile_mixture",
     "fit_serving",
     "serve_predict",
+    "serve_predict_cov",
     "serve_predict_mixture",
+    "serve_sample",
 ]

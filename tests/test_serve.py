@@ -106,3 +106,52 @@ class TestServeMixture:
         mu2, s2 = core.predict_mixture(gp, vs, x, y, z)
         assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-7)
         assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+class TestJointServing:
+    """Joint predictive covariance + posterior function draws — the
+    reference computes the full m x m internally and keeps only the
+    diagonal (gp/gp.go:337-342); serving exposes it."""
+
+    def test_cov_diag_matches_marginal_sigma(self):
+        gp, x, y = _problem(seed=8)
+        sp = serve.fit_serving(gp, jnp.array([1.0, 0.8]), jnp.array([0.2]), x, y)
+        z = jnp.linspace(0.0, 10.0, 14)[:, None]
+        mu1, cov = serve.serve_predict_cov(gp, sp, z)
+        mu2, s2 = serve.serve_predict(gp, sp, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-12)
+        d = np.sqrt(np.maximum(np.diagonal(np.asarray(cov)), 0.0))
+        assert np.allclose(d, np.asarray(s2), atol=1e-10)
+
+    def test_cov_psd_and_symmetric(self):
+        gp, x, y = _problem(seed=9)
+        sp = serve.fit_serving(gp, jnp.array([0.7, 1.1]), jnp.array([0.3]), x, y)
+        z = jnp.linspace(-2.0, 12.0, 20)[:, None]
+        _, cov = serve.serve_predict_cov(gp, sp, z)
+        cov = np.asarray(cov)
+        assert np.allclose(cov, cov.T, atol=1e-10)
+        assert np.linalg.eigvalsh(cov + 1e-9 * np.eye(20)).min() > -1e-8
+
+    def test_sample_moments(self):
+        gp, x, y = _problem(seed=10)
+        sp = serve.fit_serving(gp, jnp.array([1.0, 0.8]), jnp.array([0.2]), x, y)
+        z = jnp.linspace(0.0, 10.0, 9)[:, None]
+        mu, s = serve.serve_predict(gp, sp, z)
+        draws = serve.serve_sample(gp, sp, z, jax.random.PRNGKey(1), 20000)
+        assert draws.shape == (20000, 9)
+        assert np.allclose(np.asarray(jnp.mean(draws, 0)), np.asarray(mu), atol=0.02)
+        assert np.allclose(np.asarray(jnp.std(draws, 0)), np.asarray(s), atol=0.02)
+
+    def test_samples_interpolate_observations(self):
+        # at an observed point with tiny noise, every draw passes through y
+        # (well-spaced points: a dense near-singular K would put the
+        # interpolation residual at cond(K)*eps instead)
+        from gogp_tpu.kernels import constant_noise, rbf as _rbf
+
+        gp0 = core.GP(ndim=1, simil=_rbf.scaled(), noise=constant_noise(1e-5))
+        x = jnp.linspace(0.0, 10.0, 8)[:, None]
+        y = jnp.sin(x[:, 0])
+        sp = serve.fit_serving(gp0, jnp.array([1.0, 0.8]), jnp.zeros(0), x, y)
+        draws = serve.serve_sample(gp0, sp, x[:4], jax.random.PRNGKey(2), 64)
+        spread = float(jnp.max(jnp.abs(draws - y[None, :4])))
+        assert spread < 1e-3, spread

@@ -23,6 +23,8 @@ Layer map (mirrors reference layers, SURVEY.md §1, but functional):
   the single-process reference).
 - ``gogp_tpu.tutorial``  — the five case studies + Evaluate driver
   (reference: tutorial/).
+- ``gogp_tpu.bo``        — Bayesian optimization on the serving/streaming
+  stack (no counterpart; the canonical production consumer of a GP).
 """
 
 __version__ = "0.1.0"

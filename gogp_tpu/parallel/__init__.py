@@ -31,6 +31,11 @@ from gogp_tpu.parallel.large_n import (
     run_chees_large_n,
     run_smc_large_n,
 )
+from gogp_tpu.parallel.serving import (
+    serve_predict_mixture_sharded,
+    serve_predict_sharded,
+    shard_mixture,
+)
 from gogp_tpu.parallel.smc_sharded import run_smc_sharded
 
 __all__ = [
@@ -54,5 +59,8 @@ __all__ = [
     "run_pt_distributed",
     "run_pt_sharded",
     "run_smc_sharded",
+    "serve_predict_mixture_sharded",
+    "serve_predict_sharded",
     "shard_leading",
+    "shard_mixture",
 ]

@@ -573,6 +573,62 @@ def predict_iterative(
     return mu, sigma
 
 
+def predict_toeplitz(
+    gp: GP,
+    theta_simil,
+    theta_noise,
+    x,
+    y,
+    z,
+    cg_iters: int = 200,
+    tol: float = 1e-6,
+    precond_rank: int = 0,
+) -> tuple[Array, Array]:
+    """``Produce`` for regular-grid time series via FFT circulant solves.
+
+    The exact predict semantics (noise-free latent bands, reference
+    gp/gp.go:258-360) with every K-solve a batched CG over O(n log n)
+    Toeplitz matvecs — the O(n)-memory companion of :func:`lml_toeplitz`
+    (same grid/homoscedastic-noise constraints; test inputs ``z`` are
+    arbitrary, only the training grid must be regular).  One batched CG
+    solves [y | Kstar] together; deterministic (no probes).
+    """
+    from gogp_tpu.ops import toeplitz as tz
+    from gogp_tpu.ops.iterative import cg_solve, pivoted_precond_cols
+
+    x, y = _as_xy(gp, x, y)
+    z = jnp.atleast_2d(jnp.asarray(z))
+    n = x.shape[0]
+    if x.shape[1] != 1:
+        raise ValueError("predict_toeplitz needs 1-D inputs on a regular grid")
+    theta_simil = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    theta_noise = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+
+    col = gp.simil.matrix(theta_simil, x, x[:1])[:, 0]
+    e0 = (jnp.arange(n) == 0).astype(col.dtype)
+    noise_var = gp.noise.vector(theta_noise, x[:1])[0]
+    c = col + noise_var * e0
+    mv = tz.toeplitz_matvec_fn(c)
+    pc = None
+    if precond_rank > 0:
+        pc = pivoted_precond_cols(
+            tz.toeplitz_col_fn(c),
+            jnp.broadcast_to(c[0], (n,)),
+            precond_rank,
+            jnp.broadcast_to(noise_var, (n,)),
+        )
+
+    kstar = gp.simil.matrix(theta_simil, x, z)  # (n, m)
+    X, _ = cg_solve(mv, jnp.concatenate([y[:, None], kstar], axis=1),
+                    cg_iters, tol, precond=pc)
+    alpha, W = X[:, 0], X[:, 1:]
+    mu = kstar.T @ alpha
+    prior_var = gp.simil.diag_matrix(theta_simil, z)
+    var = prior_var - jnp.sum(kstar * W, axis=0)
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    return mu, sigma
+
+
 def predict_mixture(gp: GP, vs: Array, x, y, z, mask=None) -> tuple[Array, Array]:
     """Bayesian posterior predictive: moment-matched mixture over sampled
     hyperparameters.

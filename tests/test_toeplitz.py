@@ -133,3 +133,23 @@ class TestLML:
         with pytest.raises(ValueError, match="1-D"):
             core.lml_toeplitz(gp, jnp.ones(2), jnp.ones(1), x, jnp.zeros(8),
                               jax.random.PRNGKey(0))
+
+
+class TestPredict:
+    def test_matches_exact_predict(self):
+        gp, x, y, ts, tn = _grid_problem(n=200)
+        z = jnp.linspace(-2.0, 27.0, 31)[:, None]
+        mu1, s1 = core.predict_toeplitz(gp, ts, tn, x, y, z, cg_iters=400)
+        mu2, s2 = core.predict(gp, ts, tn, x, y, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-5)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+    def test_preconditioned_matches(self):
+        gp, x, y, ts, _ = _grid_problem(n=200, noise=0.05)
+        tn = jnp.array([0.05])
+        z = x[::9]
+        mu1, s1 = core.predict_toeplitz(gp, ts, tn, x, y, z, cg_iters=300,
+                                        precond_rank=32)
+        mu2, s2 = core.predict(gp, ts, tn, x, y, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-4)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-3)

@@ -30,6 +30,16 @@ from gogp_tpu.gp.streaming import (  # noqa: F401
     absorb_stream,
     streaming_posterior,
 )
+from gogp_tpu.gp.laplace import (  # noqa: F401
+    LaplacePosterior,
+    laplace_fit,
+    laplace_lml,
+    laplace_predict,
+    laplace_predict_prob,
+    make_laplace_logp,
+    predict_expect,
+)
+from gogp_tpu.gp import likelihoods  # noqa: F401
 from gogp_tpu.gp.sparse import (  # noqa: F401
     SGPRPosterior,
     SVGPParams,

@@ -18,8 +18,11 @@ from gogp_tpu.kernels.stationary import (  # noqa: F401
     matern32,
     matern52,
     matern52_ref,
+    exponential,
+    matern12,
     normal,
     periodic,
+    spectral_mixture,
     rational_quadratic,
     rbf,
     white,

@@ -127,3 +127,59 @@ def _matern52_ref_pair(theta, xa, xb):
 
 
 matern52_ref = Kernel(1, _matern52_ref_pair, "matern52_ref")
+
+
+def _matern12_pair(theta, xa, xb):
+    # Ornstein-Uhlenbeck / exponential kernel: exp(-d), d = |xa-xb|/l.
+    # Completes the Matern half-integer ladder (1/2, 3/2, 5/2); the
+    # reference ships only 3/2 and 5/2 (kernel/kernel.go:70-92).
+    d = _dist(xa, xb) / theta[0]
+    return jnp.exp(-d)
+
+
+matern12 = Kernel(1, _matern12_pair, "matern12")
+exponential = matern12  # conventional alias (OU process covariance)
+
+_TWO_PI_SQ = 2.0 * jnp.pi * jnp.pi
+_TWO_PI = 2.0 * jnp.pi
+
+
+def spectral_mixture(q: int, ndim: int = 1) -> Kernel:
+    """Spectral mixture kernel (Wilson & Adams 2013), Q components.
+
+    k(tau) = sum_q w_q * prod_d exp(-2 pi^2 tau_d^2 v_qd) cos(2 pi mu_qd tau_d)
+
+    with tau = xa - xb.  Theta layout (natural scale, all positive — the
+    Observe protocol's exp transform, SURVEY §2.1-1, makes the optimizer's
+    parameters their logs):
+
+        [w_1..w_Q | mu_11..mu_Qd (Q*ndim) | v_11..v_Qd (Q*ndim)]
+
+    w_q: component weights (variances); mu_qd: spectral means (frequencies);
+    v_qd: spectral variances (inverse squared length scales, l_qd =
+    1/(2 pi sqrt(v_qd))).  A single component with mu=0 reduces exactly to
+    the RBF kernel scaled by w — pinned by tests/test_kernels.py.
+
+    By Bochner's theorem a Q-component Gaussian spectral density can
+    approximate any stationary covariance, which makes this the
+    pattern-discovery kernel — it LEARNS periodicities instead of being
+    told them (contrast the reference's fixed periodic kernel,
+    kernel/kernel.go:44-47, whose period the hyperpriors study must
+    pre-scale by hand, SURVEY §2 C9).  TPU note: the pair function is a
+    fixed-Q fused product of exp/cos — no data-dependent shapes, vmaps into
+    one elementwise kernel over the covariance tile like every other
+    stationary kernel here.
+    """
+    if q < 1:
+        raise ValueError(f"spectral_mixture needs q >= 1, got {q}")
+
+    def pair(theta, xa, xb):
+        w = theta[:q]
+        mu = theta[q : q + q * ndim].reshape(q, ndim)
+        v = theta[q + q * ndim :].reshape(q, ndim)
+        tau = (xa - xb).reshape(1, ndim)
+        envelope = jnp.exp(-_TWO_PI_SQ * (tau * tau) * v)  # (q, ndim)
+        phase = jnp.cos(_TWO_PI * mu * tau)  # (q, ndim)
+        return jnp.sum(w * jnp.prod(envelope * phase, axis=1))
+
+    return Kernel(q * (1 + 2 * ndim), pair, f"spectral_mixture(q={q})")

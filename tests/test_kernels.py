@@ -214,3 +214,77 @@ class TestARD:
         for i in range(gp.n_theta):
             fd = (float(gp_observe(gp, v0.at[i].add(eps), x=x, y=y)) - float(val)) / eps
             assert abs(fd - float(grad[i])) < 1e-3
+
+
+class TestSpectralMixture:
+    def test_single_component_zero_mean_is_scaled_rbf(self):
+        import numpy as np
+        from gogp_tpu.kernels import rbf, spectral_mixture
+
+        l, w = 1.7, 2.3
+        v = 1.0 / (2 * np.pi * l) ** 2
+        k = spectral_mixture(1)
+        assert k.n_theta == 3
+        xa, xb = jnp.asarray([0.4]), jnp.asarray([2.1])
+        got = float(k(jnp.asarray([w, 0.0, v]), xa, xb))
+        want = w * float(rbf(jnp.asarray([l]), xa, xb))
+        assert abs(got - want) < 1e-12
+
+    def test_psd_and_symmetric(self):
+        import numpy as np
+        from gogp_tpu.kernels import spectral_mixture
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 5, size=(40, 1)))
+        k = spectral_mixture(3)
+        th = jnp.asarray(np.abs(rng.normal(size=k.n_theta)) + 0.05)
+        K = np.asarray(k.matrix(th, x, x))
+        assert np.max(np.abs(K - K.T)) == 0.0
+        assert np.linalg.eigvalsh(K).min() > -1e-9
+
+    def test_learns_periodicity_better_than_rbf(self):
+        # Data with a dominant frequency: an SM kernel initialized at the
+        # right spectral peak should yield a (much) higher LML than RBF at
+        # matched variance — the pattern-discovery property.
+        import numpy as np
+        from gogp_tpu.gp.core import GP, lml
+        from gogp_tpu.kernels import rbf, spectral_mixture
+        from gogp_tpu.kernels.noise import constant_noise
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(np.linspace(0, 10, 60).reshape(-1, 1))
+        f0 = 0.8
+        y = jnp.asarray(np.cos(2 * np.pi * f0 * np.asarray(x)[:, 0]) + 0.05 * rng.normal(size=60))
+        gp_sm = GP(1, spectral_mixture(1), noise=constant_noise(0.05))
+        gp_rbf = GP(1, rbf.scaled(), noise=constant_noise(0.05))
+        ll_sm = float(lml(gp_sm, jnp.asarray([0.5, f0, 0.001]), jnp.zeros(0), x, y))
+        ll_rbf = float(lml(gp_rbf, jnp.asarray([0.5, 1.0]), jnp.zeros(0), x, y))
+        assert ll_sm > ll_rbf + 10.0
+
+    def test_multidim_fd_gradient_through_gp(self):
+        import numpy as np
+        from gogp_tpu.gp.core import GP
+        from gogp_tpu.kernels import spectral_mixture, uniform_noise
+        from gogp_tpu.models.params import gp_observe
+
+        gp = GP(ndim=2, simil=spectral_mixture(2, ndim=2), noise=uniform_noise)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(0, 3, size=(10, 2)))
+        y = jnp.asarray(np.sin(np.asarray(x[:, 0])))
+        v0 = jnp.asarray(0.1 * rng.normal(size=gp.n_theta))
+        val, grad = jax.value_and_grad(lambda v: gp_observe(gp, v, x=x, y=y))(v0)
+        eps = 1e-7
+        for i in range(gp.n_theta):
+            fd = (float(gp_observe(gp, v0.at[i].add(eps), x=x, y=y)) - float(val)) / eps
+            assert abs(fd - float(grad[i])) < 1e-3
+
+
+class TestMatern12:
+    def test_value_and_diagonal(self):
+        import numpy as np
+        from gogp_tpu.kernels import matern12
+
+        xa, xb = jnp.asarray([1.0]), jnp.asarray([3.0])
+        got = float(matern12(jnp.asarray([2.0]), xa, xb))
+        assert abs(got - np.exp(-1.0)) < 1e-12
+        assert float(matern12(jnp.asarray([2.0]), xa, xa)) == 1.0

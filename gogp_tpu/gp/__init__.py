@@ -40,6 +40,12 @@ from gogp_tpu.gp.laplace import (  # noqa: F401
     predict_expect,
 )
 from gogp_tpu.gp import likelihoods  # noqa: F401
+from gogp_tpu.gp.tprocess import (  # noqa: F401
+    make_tp_logp,
+    tp_absorb,
+    tp_lml,
+    tp_predict,
+)
 from gogp_tpu.gp.sparse import (  # noqa: F401
     SGPRPosterior,
     SVGPParams,

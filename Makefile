@@ -15,8 +15,8 @@ all: native test selfcheck
 # fallbacks keep everything working unbuilt.
 native: native/libgogp_native.so
 
-native/libgogp_native.so: native/csv_parser.cpp
-	$(CXX) -O2 -shared -fPIC -o $@ $<
+native/libgogp_native.so: native/csv_parser.cpp native/loader.cpp
+	$(CXX) -O2 -shared -fPIC -pthread -o $@ native/csv_parser.cpp native/loader.cpp
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -56,6 +56,7 @@ from gogp_tpu.gp.sparse import (  # noqa: F401
     sgpr_predict,
     svgp_elbo,
     svgp_fit,
+    svgp_fit_stream,
     svgp_init,
     svgp_optimal_state,
     svgp_predict,

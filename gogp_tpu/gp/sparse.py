@@ -494,6 +494,79 @@ def svgp_fit(
     return params, trace
 
 
+def svgp_fit_stream(
+    gp: GP,
+    batches,
+    n_total: int,
+    m: int,
+    z0,
+    iters: int = 500,
+    rate: float = 0.01,
+    likelihood: Callable[[Array, Array], Array] | None = None,
+    quad_order: int = 20,
+    jitter: float = DEFAULT_JITTER,
+    log_theta0: Array | None = None,
+    train_theta: bool = True,
+    dtype=jnp.float64,
+) -> tuple[SVGPParams, Array]:
+    """Out-of-core SVGP training: minibatches arrive from a host iterator.
+
+    The streaming twin of :func:`svgp_fit` — same estimator (the
+    uniform-with-replacement sampling semantics live in the stream, e.g.
+    utils.dataio.MinibatchStream backed by the native prefetch loader),
+    but the dataset never has to fit in device (or host) memory.  One
+    jitted step function (theta/variational ascent on the rescaled ELBO)
+    is compiled once for the fixed batch shape and fed by the host loop
+    while the native loader's background thread keeps the next batch
+    gathered — the classic double-buffered input pipeline.
+
+    ``z0``: (m, ndim) initial inducing inputs (with no in-memory dataset to
+    subsample, the caller provides them — e.g. the first stream batch).
+    Returns ``(params, elbo_trace)`` like svgp_fit.
+    """
+    import optax
+
+    z0 = jnp.asarray(z0, dtype=dtype)
+    if z0.shape[0] != m:
+        raise ValueError(f"z0 rows {z0.shape[0]} != m {m}")
+    state0 = svgp_init(gp, z0, dtype=dtype)
+    if log_theta0 is None:
+        log_theta0 = jnp.zeros((gp.n_theta,), dtype=dtype)
+    params0 = SVGPParams(jnp.asarray(log_theta0, dtype=dtype), state0)
+    opt = optax.adam(rate)
+    opt_state0 = opt.init(params0)
+
+    def elbo_of(params: SVGPParams, xb, yb):
+        theta = jnp.exp(params.log_theta)
+        ts, tn = theta[: gp.n_theta_simil], theta[gp.n_theta_simil :]
+        return svgp_elbo(
+            gp, ts, tn, params.state, xb, yb,
+            n_total=n_total, likelihood=likelihood, quad_order=quad_order,
+            jitter=jitter,
+        )
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        value, grads = jax.value_and_grad(lambda p: elbo_of(p, xb, yb))(params)
+        if not train_theta:
+            grads = grads._replace(log_theta=jnp.zeros_like(grads.log_theta))
+        neg = jax.tree.map(jnp.negative, grads)
+        updates, opt_state = opt.update(neg, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, value
+
+    params, opt_state = params0, opt_state0
+    trace = []
+    it = iter(batches)
+    for _ in range(iters):
+        xb, yb = next(it)
+        xb = jnp.asarray(xb, dtype=dtype)
+        if xb.ndim == 1:
+            xb = xb[:, None]
+        params, opt_state, value = step(params, opt_state, xb, jnp.asarray(yb, dtype=dtype))
+        trace.append(value)
+    return params, jnp.stack(trace)
+
+
 def make_sgpr_logp(gp: GP, x, y, m: int, mask=None, jitter: float = DEFAULT_JITTER):
     """``logp(v) -> collapsed ELBO`` over [log thetas | Z] — plug into
     infer.mle.adam/lbfgs (or any sampler) exactly like make_gp_logp."""

@@ -32,13 +32,17 @@ from gogp_tpu.gp.streaming import (  # noqa: F401
 )
 from gogp_tpu.gp.laplace import (  # noqa: F401
     LaplacePosterior,
+    compile_laplace_serving,
     laplace_fit,
+    laplace_fit_ovr,
     laplace_lml,
     laplace_predict,
+    laplace_predict_ovr,
     laplace_predict_prob,
     make_laplace_logp,
     predict_expect,
 )
+from gogp_tpu.gp.laplace import serve_predict_prob  # noqa: F401
 from gogp_tpu.gp import likelihoods  # noqa: F401
 from gogp_tpu.gp.tprocess import (  # noqa: F401
     make_tp_logp,

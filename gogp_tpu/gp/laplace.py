@@ -289,6 +289,96 @@ def laplace_predict_prob(
     )
 
 
+def compile_laplace_serving(gp: GP, post: LaplacePosterior, precision: str | None = None):
+    """LaplacePosterior -> gp.serve.ServingPosterior — classification serving.
+
+    The Laplace predictive has exactly the GP serving algebra with
+    alpha -> grad_ll and W_serve = L_B^{-1} diag(sqrt_w):  mu = K*^T grad_ll,
+    var = prior - ||W_serve K*||^2.  Packing those into ServingPosterior
+    means the ENTIRE serving stack — serve_predict, serve_predict_cov,
+    serve_sample, request-sharded batch serving (parallel/serving.py) —
+    serves classification/count posteriors unchanged.  One-time cost: a
+    blocked triangular inverse of chol_b (same O(n^3/3) as GP serving).
+    """
+    from gogp_tpu.gp.serve import ServingPosterior
+
+    w = linalg.tril_inv(post.chol_b, precision) * post.sqrt_w[None, :]
+    return ServingPosterior(
+        post.theta_simil, post.theta_noise, post.x, post.grad_ll, w, post.mask
+    )
+
+
+def serve_predict_prob(
+    gp: GP, lik: Likelihood, sp, theta_lik, z, order: int = 32,
+    precision: str | None = None,
+) -> Array:
+    """Predictive p(y=1 | z) from a compiled Laplace serving cache."""
+    from gogp_tpu.gp.serve import serve_predict
+
+    mu, sd = serve_predict(gp, sp, z, precision)
+    if lik is bernoulli_probit:
+        from jax.scipy.stats import norm
+
+        return norm.cdf(mu / jnp.sqrt(1.0 + sd * sd))
+    one = jnp.ones((), dtype=mu.dtype)
+    return predict_expect(
+        lambda f: jnp.exp(lik.logp(jnp.asarray(theta_lik), f, one)), mu, sd * sd, order
+    )
+
+
+def laplace_fit_ovr(
+    gp: GP,
+    lik: Likelihood,
+    theta_simil,
+    theta_lik,
+    x,
+    labels,
+    n_classes: int,
+    mask=None,
+    max_iters: int = 40,
+    tol: float = 1e-9,
+) -> LaplacePosterior:
+    """One-vs-rest multiclass: C binary Laplace fits as ONE batched program.
+
+    ``labels``: (n,) integer class ids in [0, n_classes).  Each class c gets
+    the binary problem y = 1[labels == c]; the C Newton solves vmap into a
+    single XLA program (C covariance tiles, C Choleskys — all batched on the
+    MXU; the while_loop runs until the slowest class converges).  Thetas may
+    be shared — shape (n_theta,) — or per-class — shape (C, n_theta).
+    Returns a LaplacePosterior whose leaves carry a leading class axis.
+    """
+    labels = jnp.asarray(labels)
+    ys = jax.vmap(lambda c: (labels == c).astype(jnp.asarray(x).dtype))(
+        jnp.arange(n_classes)
+    )
+    ts = jnp.asarray(theta_simil)
+    tl = jnp.asarray(theta_lik)
+    ts_axis = 0 if ts.ndim == 2 else None
+    tl_axis = 0 if tl.ndim == 2 else None
+
+    def fit_one(y_c, ts_c, tl_c):
+        return laplace_fit(
+            gp, lik, ts_c, tl_c, x, y_c, mask=mask, max_iters=max_iters, tol=tol
+        )
+
+    return jax.vmap(fit_one, in_axes=(0, ts_axis, tl_axis))(ys, ts, tl)
+
+
+def laplace_predict_ovr(
+    gp: GP, lik: Likelihood, posts: LaplacePosterior, z, order: int = 32
+) -> Array:
+    """(m, C) normalized class probabilities from a batched OvR posterior.
+
+    Standard one-vs-rest normalization: per-class Bernoulli probabilities
+    rescaled to sum to one across classes.
+    """
+    probs = jax.vmap(
+        lambda p: laplace_predict_prob(gp, lik, p, z, order=order)
+    )(posts)  # (C, m)
+    probs = probs.T
+    return probs / jnp.sum(probs, axis=1, keepdims=True)
+
+
 def make_laplace_logp(
     gp: GP,
     lik: Likelihood,

@@ -197,3 +197,68 @@ class TestStudentT:
         mu_t, _ = laplace.laplace_predict(gp, post, x[7:8])
         truth = float(jnp.sin(x[7, 0]))
         assert abs(float(mu_t[0]) - truth) < abs(float(mu_g[0]) - truth)
+
+
+class TestServing:
+    def test_serving_cache_matches_direct_predict(self):
+        x, y = _toy_class_data(seed=13, n=20)
+        gp = core.GP(1, rbf.scaled())
+        lik = likelihoods.bernoulli_probit
+        ts = jnp.asarray([2.0, 0.9])
+        post = laplace.laplace_fit(gp, lik, ts, jnp.zeros(0), x, y)
+        sp = laplace.compile_laplace_serving(gp, post)
+        from gogp_tpu.gp.serve import serve_predict
+
+        z = jnp.linspace(-3, 3, 7).reshape(-1, 1)
+        mu_d, sd_d = laplace.laplace_predict(gp, post, z)
+        mu_s, sd_s = serve_predict(gp, sp, z)
+        np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sd_s), np.asarray(sd_d), atol=1e-9)
+        p_d = laplace.laplace_predict_prob(gp, lik, post, z)
+        p_s = laplace.serve_predict_prob(gp, lik, sp, post.theta_lik, z)
+        np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d), atol=1e-9)
+
+
+class TestOneVsRest:
+    def _three_class_data(self, seed=14, n=45):
+        rng = np.random.default_rng(seed)
+        x = np.sort(rng.uniform(-3, 3, size=(n, 1)), axis=0)
+        labels = np.digitize(x[:, 0], [-1.0, 1.0])  # 0 | 1 | 2 by region
+        return jnp.asarray(x), jnp.asarray(labels)
+
+    def test_probs_normalized_and_regions_recovered(self):
+        x, labels = self._three_class_data()
+        gp = core.GP(1, rbf.scaled())
+        lik = likelihoods.bernoulli_logit
+        ts = jnp.asarray([2.0, 0.8])
+        posts = laplace.laplace_fit_ovr(gp, lik, ts, jnp.zeros(0), x, labels, 3)
+        z = jnp.asarray([[-2.0], [0.0], [2.0]])
+        probs = laplace.laplace_predict_ovr(gp, lik, posts, z)
+        probs = np.asarray(probs)
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-12)
+        assert list(probs.argmax(axis=1)) == [0, 1, 2]
+        assert np.all(probs.max(axis=1) > 0.5)
+
+    def test_batched_fit_matches_sequential(self):
+        x, labels = self._three_class_data(seed=15)
+        gp = core.GP(1, rbf.scaled())
+        lik = likelihoods.bernoulli_logit
+        ts = jnp.asarray([1.5, 1.0])
+        posts = laplace.laplace_fit_ovr(gp, lik, ts, jnp.zeros(0), x, labels, 3)
+        for c in range(3):
+            y_c = (labels == c).astype(jnp.float64)
+            p_c = laplace.laplace_fit(gp, lik, ts, jnp.zeros(0), x, y_c)
+            np.testing.assert_allclose(
+                np.asarray(posts.f_hat[c]), np.asarray(p_c.f_hat), atol=1e-7
+            )
+
+    def test_per_class_thetas(self):
+        x, labels = self._three_class_data(seed=16)
+        gp = core.GP(1, rbf.scaled())
+        lik = likelihoods.bernoulli_logit
+        ts = jnp.asarray([[1.5, 1.0], [2.0, 0.7], [1.0, 1.2]])
+        posts = laplace.laplace_fit_ovr(gp, lik, ts, jnp.zeros((3, 0)), x, labels, 3)
+        assert posts.f_hat.shape == (3, x.shape[0])
+        p1 = laplace.laplace_fit(gp, lik, ts[1], jnp.zeros(0), x,
+                                 (labels == 1).astype(jnp.float64))
+        np.testing.assert_allclose(np.asarray(posts.f_hat[1]), np.asarray(p1.f_hat), atol=1e-7)

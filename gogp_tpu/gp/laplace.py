@@ -85,12 +85,20 @@ def _prep(gp: GP, lik: Likelihood, theta_simil, theta_noise, theta_lik, x, y, ma
     return x, y, ts, tn, tl, mask
 
 
-def _newton_step(lik: Likelihood, tl, K: Array, f: Array, y: Array, mask: Array):
+def _newton_step(lik: Likelihood, tl, K: Array, f: Array, y: Array, mask: Array,
+                 precision: str | None = None):
     """One exact Newton step of the mode search (GPML Alg. 3.1 body).
 
     Returns (f_new, a, chol_b, sqrt_w_at_f, grad_ll_at_f) where f_new = K a,
     so a == K^{-1} f_new identically — the quadratic form in the objective
     never needs a solve against K itself.
+
+    ``precision``: matmul precision for the K matvecs and the B Cholesky.
+    At the TPU default (one-pass bf16) the Newton iteration has an absolute
+    error floor of ~0.4 in f at n=2048 (sqrt(n)-accumulated bf16 product
+    error in K @ b — measured, STATUS round 3); mode-quality-critical fits
+    (anything feeding laplace_lml gradients) should pass "tensorfloat32"
+    or "float32", same ladder as gp.serve.
     """
     gll, w = lik.grads(tl, f, y, mask)
     w = jnp.maximum(w, 0.0)  # no-op for log-concave likelihoods
@@ -100,10 +108,11 @@ def _newton_step(lik: Likelihood, tl, K: Array, f: Array, y: Array, mask: Array)
         jnp.int32, (n, n), 1
     )
     B = jnp.where(eye, 1.0 + sw * sw * jnp.diag(K), sw[:, None] * K * sw[None, :])
-    L = linalg.cholesky(B)
+    L = linalg.cholesky(B, precision)
     b = w * f + gll
-    a = b - sw * linalg.cho_solve_vec(L, sw * (K @ b))
-    return K @ a, a, L, sw, gll
+    Kb = jnp.matmul(K, b, precision=precision)
+    a = b - sw * linalg.cho_solve_vec(L, sw * Kb)
+    return jnp.matmul(K, a, precision=precision), a, L, sw, gll
 
 
 def _objective(lik: Likelihood, tl, f, a, y, mask):
@@ -112,7 +121,8 @@ def _objective(lik: Likelihood, tl, f, a, y, mask):
 
 
 def _newton_solve(
-    lik: Likelihood, tl, K, y, mask, max_iters: int, tol: float
+    lik: Likelihood, tl, K, y, mask, max_iters: int, tol: float,
+    precision: str | None = None,
 ) -> Array:
     """Run guarded Newton to convergence (objective-change tolerance).
 
@@ -144,7 +154,7 @@ def _newton_solve(
 
     def body(state):
         f, a, psi, _, it = state
-        f_full, a_full, _, _, _ = _newton_step(lik, tl, K, f, y, mask)
+        f_full, a_full, _, _, _ = _newton_step(lik, tl, K, f, y, mask, precision)
         df, da = f_full - f, a_full - a
         psis = jax.vmap(lambda s: psi_at(f + s * df, a + s * da))(steps)
         best = jnp.argmax(psis)
@@ -169,6 +179,7 @@ def laplace_fit(
     mask=None,
     max_iters: int = 40,
     tol: float = 1e-9,
+    precision: str | None = None,
 ) -> LaplacePosterior:
     """Find the latent mode and package the Laplace posterior.
 
@@ -180,10 +191,10 @@ def laplace_fit(
         theta_noise = jnp.zeros((gp.n_theta_noise,))
     x, y, ts, tn, tl, mask = _prep(gp, lik, theta_simil, theta_noise, theta_lik, x, y, mask)
     K = masked_cov(gp, ts, tn, x, mask)
-    f_hat = _newton_solve(lik, tl, K, y, mask, max_iters, tol)
+    f_hat = _newton_solve(lik, tl, K, y, mask, max_iters, tol, precision)
     # One more step from the converged mode: returns the mode again plus
     # the B-factorization evaluated there.
-    f, a, L, sw, gll = _newton_step(lik, tl, K, f_hat, y, mask)
+    f, a, L, sw, gll = _newton_step(lik, tl, K, f_hat, y, mask, precision)
     return LaplacePosterior(ts, tn, tl, x, y, f, gll, sw, L, mask)
 
 
@@ -198,6 +209,7 @@ def laplace_lml(
     mask=None,
     max_iters: int = 40,
     tol: float = 1e-9,
+    precision: str | None = None,
 ) -> Array:
     """Laplace-approximate log marginal likelihood, GPML eq. 3.32:
 
@@ -214,11 +226,11 @@ def laplace_lml(
     x, y, ts, tn, tl, mask = _prep(gp, lik, theta_simil, theta_noise, theta_lik, x, y, mask)
     K = masked_cov(gp, ts, tn, x, mask)
     sg = jax.lax.stop_gradient
-    f_hat = _newton_solve(lik, sg(tl), sg(K), y, mask, max_iters, tol)
+    f_hat = _newton_solve(lik, sg(tl), sg(K), y, mask, max_iters, tol, precision)
     # Differentiable step from the (constant) converged mode: d f/d theta
     # is the exact implicit derivative because Newton's iteration map has
     # zero Jacobian w.r.t. f at its fixed point.
-    f, a, _, _, _ = _newton_step(lik, tl, K, sg(f_hat), y, mask)
+    f, a, _, _, _ = _newton_step(lik, tl, K, sg(f_hat), y, mask, precision)
     # Re-evaluate W (hence B) at the differentiable f so the implicit
     # dependence of log|B| on theta flows (GPML eq. 5.23's b/s3 terms).
     _, w = lik.grads(tl, f, y, mask)
@@ -229,7 +241,7 @@ def laplace_lml(
         jnp.int32, (n, n), 1
     )
     B = jnp.where(eye, 1.0 + sw * sw * jnp.diag(K), sw[:, None] * K * sw[None, :])
-    L = linalg.cholesky(B)
+    L = linalg.cholesky(B, precision)
     half_logdet_b = jnp.sum(jnp.log(jnp.diagonal(L)))  # padded rows: log 1
     return lik.sum_logp(tl, f, y, mask) - 0.5 * jnp.dot(a, f) - half_logdet_b
 
@@ -387,6 +399,7 @@ def make_laplace_logp(
     mask=None,
     max_iters: int = 40,
     tol: float = 1e-9,
+    precision: str | None = None,
 ):
     """Flat-vector hyperparameter log-density following the Observe protocol.
 
@@ -406,7 +419,7 @@ def make_laplace_logp(
         tl = theta[nts + ntn :]
         return laplace_lml(
             gp, lik, ts, tl, x, y, theta_noise=tn, mask=mask,
-            max_iters=max_iters, tol=tol,
+            max_iters=max_iters, tol=tol, precision=precision,
         )
 
     return logp, nts + ntn + ntl

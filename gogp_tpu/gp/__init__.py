@@ -44,6 +44,15 @@ from gogp_tpu.gp.laplace import (  # noqa: F401
 )
 from gogp_tpu.gp.laplace import serve_predict_prob  # noqa: F401
 from gogp_tpu.gp import likelihoods  # noqa: F401
+from gogp_tpu.gp.ep import (  # noqa: F401
+    EPPosterior,
+    compile_ep_serving,
+    ep_fit,
+    ep_lml,
+    ep_predict,
+    ep_predict_prob,
+    make_ep_logp,
+)
 from gogp_tpu.gp.tprocess import (  # noqa: F401
     make_tp_logp,
     tp_absorb,

@@ -1,4 +1,5 @@
 from gogp_tpu.kernels.base import Kernel, NoiseKernel  # noqa: F401
+from gogp_tpu.kernels import deep  # noqa: F401
 from gogp_tpu.kernels.multioutput import (  # noqa: F401
     icm,
     init_icm_theta,

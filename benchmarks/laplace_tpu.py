@@ -1,4 +1,4 @@
-"""Laplace-approximation (classification) benchmark on the real chip.
+"""Laplace / EP (classification) benchmark on the real chip.
 
 Measures, at TPU dtype (f32 data, house default matmul precision):
 
@@ -109,6 +109,16 @@ def main():
         f"served latent        m={m}: {t_serve:8.3f} ms | p(y=1) GH-32: {t_prob:8.3f} ms",
         flush=True,
     )
+
+    # EP: damped parallel sweeps (one Cholesky + TRSM per sweep)
+    from gogp_tpu.gp import ep as ep_mod
+    epfit = lambda t: ep_mod.ep_fit(gp, lik, t, tl, x, y, tol=1e-4, max_sweeps=40)
+    t_ep = device_loop_time(epfit, ts, reps=5) - floor
+    ep_post = jax.jit(epfit)(ts)
+    acc_ep = float(jnp.mean(((ep_post.x[:, 0] * 0 + jnp.matmul(
+        core.masked_cov(gp, ep_post.theta_simil, ep_post.theta_noise, ep_post.x, ep_post.mask),
+        ep_post.alpha) ) > 0) == (y > 0.5)))
+    print(f"ep_fit               n={n}: {t_ep:8.3f} ms | train acc {acc_ep:.3f}", flush=True)
 
     # precision ladder: mode quality + cost (host-f64 stationarity check;
     # the default-precision Newton has a bf16 error floor, _newton_step doc)

@@ -24,15 +24,30 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _pad_empty(leaf):
+    # orbax refuses zero-size arrays; zero-theta kernels/likelihoods carry
+    # (0,)-shaped leaves (e.g. LaplacePosterior.theta_lik for probit).
+    # Saved as a 1-element placeholder; restore() rebuilds the empty leaf
+    # from the structure (shape recorded in `like` or in the saved shape
+    # via the size-1 convention below).
+    import jax.numpy as jnp
+
+    if hasattr(leaf, "size") and leaf.size == 0:
+        return jnp.zeros((1,), dtype=leaf.dtype)
+    return leaf
+
+
 def save(path: str | os.PathLike, tree: Any, *, force: bool = True) -> None:
     """Save any pytree of arrays (Posterior, HMCState, SMC particles...).
 
     ``path`` must be a directory path (created by orbax); absolute paths
-    required by orbax are derived automatically.
+    required by orbax are derived automatically.  Zero-size leaves (thetas
+    of parameter-free kernels/likelihoods) are stored as placeholders and
+    reconstructed on restore.
     """
     path = os.path.abspath(os.fspath(path))
     ckptr = _checkpointer()
-    ckptr.save(path, tree, force=force)
+    ckptr.save(path, jax.tree.map(_pad_empty, tree), force=force)
     ckptr.wait_until_finished()
 
 
@@ -44,12 +59,23 @@ def restore(path: str | os.PathLike, like: Any | None = None) -> Any:
     structure, dtypes, and shardings.  Without it, orbax restores with the
     saved metadata (plain numpy-backed arrays).
     """
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.fspath(path))
     ckptr = _checkpointer()
     if like is None:
         return ckptr.restore(path)
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+    abstract = jax.tree.map(
+        ocp.utils.to_shape_dtype_struct, jax.tree.map(_pad_empty, like)
+    )
     restored = ckptr.restore(path, abstract)
-    return jax.tree.unflatten(jax.tree.structure(like), jax.tree.leaves(restored))
+    flat = jax.tree.unflatten(jax.tree.structure(like), jax.tree.leaves(restored))
+    # undo the placeholder padding wherever `like` has a zero-size leaf
+    return jax.tree.map(
+        lambda r, l: jnp.zeros(l.shape, l.dtype)
+        if hasattr(l, "size") and l.size == 0
+        else r,
+        flat,
+        like,
+    )

@@ -106,3 +106,31 @@ def test_chees_checkpoint_resume(tmp_path):
     _, (pos_direct, _, _) = chees_sample_chunk(logp, state1, 10)
     _, (pos_resumed, _, _) = chees_sample_chunk(logp, restored, 10)
     assert np.allclose(np.asarray(pos_direct), np.asarray(pos_resumed))
+
+
+def test_laplace_and_ep_posterior_checkpoint_roundtrip(tmp_path):
+    """The non-conjugate posteriors are plain pytrees too — serving caches
+    survive a save/restore cycle (round-3 classification surface)."""
+    from gogp_tpu.gp import ep, laplace, likelihoods
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(-3, 3, size=(14, 1)), axis=0))
+    y = jnp.asarray((np.asarray(x)[:, 0] > 0).astype(float))
+    gp = GP(ndim=1, simil=rbf.scaled())
+    lik = likelihoods.bernoulli_probit
+    ts = jnp.asarray([2.0, 1.0])
+
+    lpost = laplace.laplace_fit(gp, lik, ts, jnp.zeros(0), x, y)
+    utils.save(tmp_path / "lap", lpost)
+    lrest = utils.restore(tmp_path / "lap", like=lpost)
+    z = jnp.asarray([[0.4], [-1.2]])
+    p0 = laplace.laplace_predict_prob(gp, lik, lpost, z)
+    p1 = laplace.laplace_predict_prob(gp, lik, lrest, z)
+    assert np.allclose(np.asarray(p0), np.asarray(p1))
+
+    epost = ep.ep_fit(gp, lik, ts, jnp.zeros(0), x, y)
+    utils.save(tmp_path / "ep", epost)
+    erest = utils.restore(tmp_path / "ep", like=epost)
+    q0 = ep.ep_predict_prob(gp, lik, epost, z)
+    q1 = ep.ep_predict_prob(gp, lik, erest, z)
+    assert np.allclose(np.asarray(q0), np.asarray(q1))

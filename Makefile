@@ -30,6 +30,7 @@ selfcheck:
 	$(PY) -m gogp_tpu.tutorial.warpedtime  --seed 0 selfcheck > /dev/null
 	$(PY) -m gogp_tpu.tutorial.anynoise    --seed 0 selfcheck > /dev/null
 	$(PY) -m gogp_tpu.tutorial.events      --seed 0 --events 1.0:1.0:0.5,4.2:6.7:0.25 selfcheck > /dev/null
+	$(PY) -m gogp_tpu.tutorial.classify    --seed 0 --iters 60 selfcheck > /dev/null
 	@echo "selfchecks ok"
 
 bench:

@@ -50,6 +50,13 @@ Array = jax.Array
 _TAU_MIN = 1e-10  # cavity/site precision floor (clip, not error: jit-safe)
 
 
+def _safe_sqrt(w: Array) -> Array:
+    """sqrt with a zero gradient at w == 0 (padded rows / zeroed sites);
+    see laplace._safe_sqrt for the inf * 0 = NaN failure this avoids."""
+    pos = w > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, w, 1.0)), 0.0)
+
+
 class EPPosterior(NamedTuple):
     """Converged EP state: sites + the B-factorization at those sites."""
 
@@ -119,7 +126,7 @@ def _posterior_marginals(K, tau, nu, precision):
     mu = Sigma nu; alpha are the weights with K*^T alpha = predictive mean.
     """
     n = K.shape[0]
-    sw = jnp.sqrt(tau)
+    sw = _safe_sqrt(tau)
     eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
         jnp.int32, (n, n), 1
     )
@@ -272,7 +279,7 @@ def ep_predict(gp: GP, post: EPPosterior, z) -> tuple[Array, Array]:
         z = z.reshape(-1, gp.ndim)
     kstar = gp.simil.matrix(post.theta_simil, post.x, z) * post.mask[:, None]
     mu = kstar.T @ post.alpha
-    sw = jnp.sqrt(post.tau_site)
+    sw = _safe_sqrt(post.tau_site)
     v = linalg.trsm_lower(post.chol_b, sw[:, None] * kstar)
     prior = gp.simil.diag_matrix(post.theta_simil, z)
     var = prior - jnp.sum(v * v, axis=0)
@@ -299,7 +306,7 @@ def compile_ep_serving(gp: GP, post: EPPosterior, precision: str | None = None):
     Laplace serving bridge: alpha stays alpha, W_serve = L_B^{-1} diag(S^0.5))."""
     from gogp_tpu.gp.serve import ServingPosterior
 
-    w = linalg.tril_inv(post.chol_b, precision) * jnp.sqrt(post.tau_site)[None, :]
+    w = linalg.tril_inv(post.chol_b, precision) * _safe_sqrt(post.tau_site)[None, :]
     return ServingPosterior(
         post.theta_simil, post.theta_noise, post.x, post.alpha, w, post.mask
     )

@@ -51,6 +51,17 @@ from gogp_tpu.ops import linalg
 Array = jax.Array
 
 
+def _safe_sqrt(w: Array) -> Array:
+    """sqrt with a zero (not NaN) gradient at w == 0.
+
+    Padded rows carry W = 0; plain sqrt has an infinite derivative there
+    and reverse mode produces inf * 0 = NaN, silently killing the whole
+    hyperparameter gradient under padding (caught by the classify study's
+    batched-prefix fits)."""
+    pos = w > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, w, 1.0)), 0.0)
+
+
 class LaplacePosterior(NamedTuple):
     """Fitted Laplace state: everything prediction needs, checkpointable.
 
@@ -102,7 +113,7 @@ def _newton_step(lik: Likelihood, tl, K: Array, f: Array, y: Array, mask: Array,
     """
     gll, w = lik.grads(tl, f, y, mask)
     w = jnp.maximum(w, 0.0)  # no-op for log-concave likelihoods
-    sw = jnp.sqrt(w)
+    sw = _safe_sqrt(w)
     n = K.shape[0]
     eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
         jnp.int32, (n, n), 1
@@ -235,7 +246,7 @@ def laplace_lml(
     # dependence of log|B| on theta flows (GPML eq. 5.23's b/s3 terms).
     _, w = lik.grads(tl, f, y, mask)
     w = jnp.maximum(w, 0.0)
-    sw = jnp.sqrt(w)
+    sw = _safe_sqrt(w)
     n = K.shape[0]
     eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
         jnp.int32, (n, n), 1

@@ -58,21 +58,35 @@ def _run_optax(
     opt_state = opt.init(x0)
 
     def cond(carry):
-        _, _, step, gmax, _ = carry
+        _, _, step, gmax, _, _ = carry
         return jnp.logical_and(step < iters, gmax >= threshold)
 
     def body(carry):
-        x, opt_state, step, _, _ = carry
+        x, opt_state, step, _, prev_value, bad = carry
         value, grad = value_and_grad(x)
+        # Non-finite guard: a step into NaN/inf territory (e.g. an extreme
+        # theta making the model blow up) keeps the last finite iterate and
+        # exits, flagged stalled — the jit-compatible version of the
+        # reference's tolerated optimizer failure (tutorial.go:144-155) and
+        # this repo's NaN degradation policy (DESIGN §7).
+        finite = jnp.logical_and(
+            jnp.isfinite(value), jnp.all(jnp.isfinite(grad))
+        )
+        grad = jnp.where(finite, grad, jnp.zeros_like(grad))
+        value_safe = jnp.where(finite, value, prev_value)
         if needs_extras:
             updates, new_state = opt.update(
-                grad, opt_state, x, value=value, grad=grad, value_fn=neg_fn
+                grad, opt_state, x, value=value_safe, grad=grad, value_fn=neg_fn
             )
         else:
             updates, new_state = opt.update(grad, opt_state, x)
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
         new_x = optax.apply_updates(x, updates)
-        gmax = jnp.max(jnp.abs(grad)) if grad.size else jnp.asarray(0.0, x.dtype)
-        return new_x, new_state, step + 1, gmax, value
+        gmax_raw = jnp.max(jnp.abs(grad)) if grad.size else jnp.asarray(0.0, x.dtype)
+        gmax = jnp.where(finite, gmax_raw, jnp.asarray(0.0, x.dtype))
+        return new_x, new_state, step + 1, gmax, value_safe, jnp.logical_or(bad, ~finite)
 
     init_val = (
         x0,
@@ -80,9 +94,10 @@ def _run_optax(
         jnp.asarray(0),
         jnp.asarray(jnp.inf, x0.dtype),
         jnp.asarray(0.0, x0.dtype),
+        jnp.asarray(False),
     )
-    x, _, step, gmax, value = jax.lax.while_loop(cond, body, init_val)
-    return OptResult(x, -value, step, gmax < threshold, jnp.asarray(False))
+    x, _, step, gmax, value, bad = jax.lax.while_loop(cond, body, init_val)
+    return OptResult(x, -value, step, jnp.logical_and(gmax < threshold, ~bad), bad)
 
 
 def adam(

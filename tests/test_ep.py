@@ -140,3 +140,19 @@ class TestGradientsAndProtocol:
         mu_s, sd_s = serve_predict(gp, sp, z)
         np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-9)
         np.testing.assert_allclose(np.asarray(sd_s), np.asarray(sd_d), atol=1e-9)
+
+
+def test_gradient_finite_under_padding():
+    # same regression as laplace: padded sites have tau = 0 and sqrt must
+    # not poison the gradient.
+    x, y = _class_data(seed=9, n=10)
+    gp = core.GP(1, rbf.scaled())
+    xp = jnp.concatenate([x, jnp.full((4, 1), 99.0)])
+    yp = jnp.concatenate([y, jnp.zeros((4,))])
+    mask = jnp.concatenate([jnp.ones((10,)), jnp.zeros((4,))])
+    logp, _ = ep.make_ep_logp(gp, likelihoods.bernoulli_probit, xp, yp, mask=mask)
+    g = jax.grad(logp)(jnp.asarray([0.3, -0.2]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    logp_f, _ = ep.make_ep_logp(gp, likelihoods.bernoulli_probit, x, y)
+    g_f = jax.grad(logp_f)(jnp.asarray([0.3, -0.2]))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_f), atol=1e-7)

@@ -262,3 +262,21 @@ class TestOneVsRest:
         p1 = laplace.laplace_fit(gp, lik, ts[1], jnp.zeros(0), x,
                                  (labels == 1).astype(jnp.float64))
         np.testing.assert_allclose(np.asarray(posts.f_hat[1]), np.asarray(p1.f_hat), atol=1e-7)
+
+
+def test_gradient_finite_under_padding():
+    # sqrt(W) at padded rows (W = 0) must carry a ZERO gradient, not NaN —
+    # regression for the batched-prefix classify fits (inf * 0 reverse-mode).
+    x, y = _toy_class_data(seed=20, n=10)
+    gp = core.GP(1, rbf.scaled())
+    xp = jnp.concatenate([x, jnp.full((4, 1), 99.0)])
+    yp = jnp.concatenate([y, jnp.zeros((4,))])
+    mask = jnp.concatenate([jnp.ones((10,)), jnp.zeros((4,))])
+    logp, n_params = laplace.make_laplace_logp(
+        gp, likelihoods.bernoulli_logit, xp, yp, mask=mask
+    )
+    g = jax.grad(logp)(jnp.asarray([0.2, -0.1]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    logp_f, _ = laplace.make_laplace_logp(gp, likelihoods.bernoulli_logit, x, y)
+    g_f = jax.grad(logp_f)(jnp.asarray([0.2, -0.1]))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_f), atol=1e-8)

@@ -69,8 +69,10 @@ from gogp_tpu.gp.sparse import (  # noqa: F401
     sgpr_predict,
     svgp_elbo,
     svgp_fit,
+    svgp_fit_natgrad,
     svgp_fit_stream,
     svgp_init,
+    svgp_natgrad_step,
     svgp_optimal_state,
     svgp_predict,
 )

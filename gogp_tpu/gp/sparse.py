@@ -494,6 +494,189 @@ def svgp_fit(
     return params, trace
 
 
+def _elbo_mS(
+    gp: GP, theta_simil, theta_noise, z, q_mu, S_cov, x, y,
+    n_total, mask, likelihood, quad_order, jitter,
+) -> Array:
+    """svgp_elbo re-parameterized by the full covariance S (not its
+    Cholesky): the natural-gradient update needs dELBO/dS at fixed S, which
+    the q_sqrt parameterization obscures.  Math identical to svgp_elbo."""
+    theta_simil, theta_noise, x, y, mask = _prep(
+        gp, theta_simil, theta_noise, x, y, mask
+    )
+    L = _chol_kuu(gp, theta_simil, z, jitter)
+    kuf = gp.simil.matrix(theta_simil, z, x)
+    A = linalg.trsm_lower(L, kuf)
+    mean = A.T @ q_mu
+    kff = gp.simil.diag_matrix(theta_simil, x)
+    var = jnp.maximum(
+        kff - jnp.sum(A * A, axis=0) + jnp.sum(A * (S_cov @ A), axis=0), 0.0
+    )
+    if likelihood is None:
+        s = gp.noise.vector(theta_noise, x)
+        point = (
+            -0.5 * (_LOG_2PI + jnp.log(s) + (y - mean) ** 2 / s) - 0.5 * var / s
+        )
+    else:
+        xs, ws = _gh_nodes(quad_order, x.dtype)
+        f = mean[:, None] + jnp.sqrt(2.0 * var)[:, None] * xs[None, :]
+        point = jnp.sum(
+            jax.vmap(jax.vmap(likelihood))(jnp.broadcast_to(y[:, None], f.shape), f)
+            * ws[None, :],
+            axis=1,
+        )
+    batch_eff = jnp.sum(mask)
+    data = jnp.sum(point * mask)
+    if n_total is not None:
+        data = data * (jnp.asarray(n_total, x.dtype) / jnp.maximum(batch_eff, 1.0))
+    m = q_mu.shape[0]
+    Ls = linalg.cholesky(S_cov)
+    kl = 0.5 * (
+        jnp.dot(q_mu, q_mu) + jnp.trace(S_cov) - m
+        - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
+    )
+    return data - kl
+
+
+def svgp_natgrad_step(
+    gp: GP,
+    theta_simil,
+    theta_noise,
+    state: SVGPState,
+    x,
+    y,
+    gamma: float | Array,
+    n_total: int | Array | None = None,
+    mask=None,
+    likelihood: Callable[[Array, Array], Array] | None = None,
+    quad_order: int = 20,
+    jitter: float = DEFAULT_JITTER,
+) -> SVGPState:
+    """One natural-gradient ascent step on the whitened q(u).
+
+    Natural parameters Lambda1 = S^{-1} m, Lambda2 = -S^{-1}/2; the natural
+    gradient of the ELBO w.r.t. them is its ordinary gradient w.r.t. the
+    EXPECTATION parameters (m, S + m m^T) (Hensman et al. 2013, Salimbeni
+    et al. 2018):
+
+        Lambda1 <- Lambda1 + gamma (g_m - 2 g_S m)
+        Lambda2 <- Lambda2 + gamma g_S
+
+    For the Gaussian likelihood on a full batch, gamma = 1 lands on the
+    OPTIMAL q in a single step from any start (== svgp_optimal_state) — the
+    correctness anchor in tests/test_natgrad.py.  All solves are m x m.
+    """
+    S0 = jnp.tril(state.q_sqrt)
+    S_cov = S0 @ S0.T
+    q_mu = state.q_mu
+    g_m, g_S = jax.grad(
+        lambda mm, SS: _elbo_mS(
+            gp, theta_simil, theta_noise, state.z, mm, SS, x, y,
+            n_total, mask, likelihood, quad_order, jitter,
+        ),
+        argnums=(0, 1),
+    )(q_mu, S_cov)
+    g_S = 0.5 * (g_S + g_S.T)
+    m = q_mu.shape[0]
+    eye = jnp.eye(m, dtype=S_cov.dtype)
+    Ls = linalg.cholesky(S_cov)
+    P = linalg.cho_solve_mat(Ls, eye)  # S^{-1}
+    lam1 = linalg.cho_solve_vec(Ls, q_mu)  # S^{-1} m
+    gamma = jnp.asarray(gamma, S_cov.dtype)
+    P_new = P - 2.0 * gamma * g_S
+    lam1_new = lam1 + gamma * (g_m - 2.0 * (g_S @ q_mu))
+    # S_new = P_new^{-1}; non-PD P_new (too-large gamma on a non-concave
+    # direction) degrades via escalating jitter instead of NaN.
+    Lp, _ = linalg.cholesky_with_jitter(0.5 * (P_new + P_new.T))
+    S_new = linalg.cho_solve_mat(Lp, eye)
+    S_new = 0.5 * (S_new + S_new.T)
+    m_new = S_new @ lam1_new
+    q_sqrt_new = linalg.cholesky(S_new)
+    return SVGPState(state.z, m_new, q_sqrt_new)
+
+
+def svgp_fit_natgrad(
+    gp: GP,
+    x,
+    y,
+    m: int,
+    key,
+    iters: int = 300,
+    batch: int | None = None,
+    gamma: float = 0.3,
+    rate: float = 0.01,
+    likelihood: Callable[[Array, Array], Array] | None = None,
+    quad_order: int = 20,
+    jitter: float = DEFAULT_JITTER,
+    log_theta0: Array | None = None,
+    train_theta: bool = True,
+) -> tuple[SVGPParams, Array]:
+    """SVGP training with NATURAL gradients on q(u) + Adam on (theta, Z).
+
+    The standard fast path for variational GPs: the variational
+    distribution moves in information geometry (one step is exact for the
+    Gaussian likelihood; for non-Gaussian it takes the curvature of the
+    Gaussian family into account), while hyperparameters and inducing
+    inputs follow ordinary Adam.  Same estimator and API shape as svgp_fit;
+    one compiled lax.scan.
+    """
+    import optax
+
+    x, y = _as_xy(gp, x, y)
+    n = x.shape[0]
+    if batch is None or batch >= n:
+        batch = n
+    key, sub = jax.random.split(jnp.asarray(key))
+    perm = jax.random.permutation(sub, n)[:m]
+    state0 = svgp_init(gp, x[perm], dtype=x.dtype)
+    if log_theta0 is None:
+        log_theta0 = jnp.zeros((gp.n_theta,), dtype=x.dtype)
+    hyper0 = (jnp.asarray(log_theta0, dtype=x.dtype), state0.z)
+    opt = optax.adam(rate)
+    opt_state0 = opt.init(hyper0)
+
+    def elbo_of(hyper, q_mu, q_sqrt, xb, yb):
+        log_theta, z = hyper
+        theta = jnp.exp(log_theta)
+        ts, tn = theta[: gp.n_theta_simil], theta[gp.n_theta_simil :]
+        return svgp_elbo(
+            gp, ts, tn, SVGPState(z, q_mu, q_sqrt), xb, yb,
+            n_total=n, likelihood=likelihood, quad_order=quad_order,
+            jitter=jitter,
+        )
+
+    def step(carry, k):
+        hyper, q_mu, q_sqrt, opt_state = carry
+        if batch == n:
+            xb, yb = x, y
+        else:
+            idx = jax.random.randint(k, (batch,), 0, n)
+            xb, yb = x[idx], y[idx]
+        value, grads = jax.value_and_grad(
+            lambda h: elbo_of(h, q_mu, q_sqrt, xb, yb)
+        )(hyper)
+        if train_theta:
+            neg = jax.tree.map(jnp.negative, grads)
+            updates, opt_state = opt.update(neg, opt_state, hyper)
+            hyper = optax.apply_updates(hyper, updates)
+        log_theta, z = hyper
+        theta = jnp.exp(log_theta)
+        ts, tn = theta[: gp.n_theta_simil], theta[gp.n_theta_simil :]
+        new_state = svgp_natgrad_step(
+            gp, ts, tn, SVGPState(z, q_mu, q_sqrt), xb, yb, gamma,
+            n_total=n, likelihood=likelihood, quad_order=quad_order,
+            jitter=jitter,
+        )
+        return (hyper, new_state.q_mu, new_state.q_sqrt, opt_state), value
+
+    keys = jax.random.split(key, iters)
+    (hyper, q_mu, q_sqrt, _), trace = jax.lax.scan(
+        step, (hyper0, state0.q_mu, state0.q_sqrt, opt_state0), keys
+    )
+    log_theta, z = hyper
+    return SVGPParams(log_theta, SVGPState(z, q_mu, q_sqrt)), trace
+
+
 def svgp_fit_stream(
     gp: GP,
     batches,

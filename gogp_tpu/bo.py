@@ -88,11 +88,14 @@ def acquire(
 ) -> tuple[Array, Array]:
     """Score the candidate grid and return (argmax index, scores).
 
-    ``kind``: "ei" | "ucb" | "thompson".  Thompson draws ONE joint sample
-    over the candidates (needs ``key``; O(m^3) in the grid size) and
-    scores each candidate by its sampled value — exact Thompson on the
-    grid.  With no observations yet, EI/UCB reduce to prior mean + std
-    scoring and Thompson to a prior draw.
+    ``kind``: "ei" | "ucb" | "thompson" | "thompson-path".  Thompson draws
+    ONE joint sample over the candidates (needs ``key``; O(m^3) in the
+    grid size) and scores each candidate by its sampled value — exact
+    Thompson on the grid.  "thompson-path" draws the sample as a pathwise
+    (random-feature + Matheron) function instead — O(m (F + n)), the
+    large-grid/continuous-domain form (gp/pathwise.py; kernel must carry a
+    spectral spec).  With no observations yet, EI/UCB reduce to prior
+    mean + std scoring and Thompson to a prior draw.
     """
     candidates = jnp.asarray(candidates, dtype=state.post.x.dtype)
     if candidates.ndim == 1:
@@ -115,9 +118,30 @@ def acquire(
         chol = jnp.linalg.cholesky(cov + (1e-8 * scale) * jnp.eye(m, dtype=cov.dtype))
         eps = jax.random.normal(key, (m,), dtype=mu.dtype)
         scores = mu + chol @ eps
+    elif kind == "thompson-path":
+        if key is None:
+            raise ValueError("thompson-path acquisition needs a PRNG key")
+        scores = thompson_path_scores(gp, state, candidates, key)
     else:
         raise ValueError(f"unknown acquisition {kind!r}")
     return jnp.argmax(scores), scores
+
+
+def thompson_path_scores(
+    gp: GP, state: BOState, candidates: Array, key: Array, num_features: int = 512
+) -> Array:
+    """One pathwise posterior draw evaluated on the candidates — Thompson
+    scores in O(m (F + n)) instead of the exact grid draw's O(m^3).
+
+    The draw is a coherent continuous function (gp.pathwise), so the same
+    key scores ANY candidate set consistently — usable for continuous
+    optimization of the sample (score-and-refine grids) where the exact
+    grid Thompson cannot leave its grid.
+    """
+    from gogp_tpu.gp import pathwise
+
+    ps = pathwise.sample_paths(gp, state.post, key, 1, num_features)
+    return pathwise.eval_paths(gp, ps, candidates)[0]
 
 
 def bo_update(gp: GP, state: BOState, x_new, y_new) -> BOState:
@@ -190,5 +214,6 @@ __all__ = [
     "bo_run",
     "bo_update",
     "expected_improvement",
+    "thompson_path_scores",
     "upper_confidence_bound",
 ]

@@ -14,6 +14,15 @@ from gogp_tpu.gp.core import (  # noqa: F401
     predict_mixture,
     predict_prior,
 )
+from gogp_tpu.gp.pathwise import (  # noqa: F401
+    PathFeatures,
+    PathState,
+    eval_paths,
+    eval_prior_paths,
+    prior_paths,
+    sample_features,
+    sample_paths,
+)
 from gogp_tpu.gp.serve import (  # noqa: F401
     ServingMixture,
     ServingPosterior,

@@ -39,6 +39,11 @@ class Kernel:
     n_theta: int
     pair: Callable[[Array, Array, Array], Array]
     name: str = "kernel"
+    # Structural tag for subsystems that need more than the pair function
+    # (e.g. gp.pathwise walks it to sample the kernel's spectral measure).
+    # A tuple like ("rbf",), ("scaled", inner), ("sum", a, b) — see
+    # gp/pathwise.py for the grammar.  None = opaque (pathwise unsupported).
+    spec: tuple | None = None
 
     def __call__(self, theta, xa, xb):
         return self.pair(jnp.asarray(theta), jnp.asarray(xa), jnp.asarray(xb))
@@ -76,7 +81,9 @@ class Kernel:
         def pair(theta, xa, xb):
             return theta[0] * inner.pair(theta[1:], xa, xb)
 
-        return Kernel(inner.n_theta + 1, pair, f"scaled({inner.name})")
+        return Kernel(
+            inner.n_theta + 1, pair, f"scaled({inner.name})", ("scaled", inner)
+        )
 
     def __add__(self, other: "Kernel") -> "Kernel":
         """Sum kernel; thetas concatenate (self first).
@@ -90,7 +97,7 @@ class Kernel:
                 theta[a.n_theta :], xa, xb
             )
 
-        return Kernel(a.n_theta + b.n_theta, pair, f"({a.name}+{b.name})")
+        return Kernel(a.n_theta + b.n_theta, pair, f"({a.name}+{b.name})", ("sum", a, b))
 
     def __mul__(self, other: "Kernel") -> "Kernel":
         a, b = self, other
@@ -100,7 +107,7 @@ class Kernel:
                 theta[a.n_theta :], xa, xb
             )
 
-        return Kernel(a.n_theta + b.n_theta, pair, f"({a.name}*{b.name})")
+        return Kernel(a.n_theta + b.n_theta, pair, f"({a.name}*{b.name})", ("prod", a, b))
 
     def ard(self, ndim: int) -> "Kernel":
         """Automatic relevance determination: per-dimension lengthscales.
@@ -114,7 +121,8 @@ class Kernel:
         usual mild over-parameterization; pin it via priors or leave Adam
         to resolve it.
         """
-        return self.warp_inputs(lambda w, x: x / w, extra_theta=ndim)
+        k = self.warp_inputs(lambda w, x: x / w, extra_theta=ndim)
+        return dataclasses.replace(k, spec=("ard", self, ndim))
 
     def warp_inputs(self, warp: Callable[[Array], Array], extra_theta: int = 0) -> "Kernel":
         """Apply ``warp(x)`` (optionally consuming ``extra_theta`` leading

@@ -43,7 +43,7 @@ def _normal_pair(theta, xa, xb):
     return jnp.exp(-jnp.sum(diff * diff) / 2)
 
 
-normal = Kernel(1, _normal_pair, "normal")
+normal = Kernel(1, _normal_pair, "normal", ("rbf",))
 rbf = normal  # conventional alias
 
 
@@ -54,7 +54,7 @@ def _periodic_pair(theta, xa, xb):
     return jnp.exp(-2 * d * d)
 
 
-periodic = Kernel(2, _periodic_pair, "periodic")
+periodic = Kernel(2, _periodic_pair, "periodic", ("periodic",))
 
 
 def _matern32_pair(theta, xa, xb):
@@ -63,7 +63,7 @@ def _matern32_pair(theta, xa, xb):
     return (1 + SQRT3 * d) * jnp.exp(-SQRT3 * d)
 
 
-matern32 = Kernel(1, _matern32_pair, "matern32")
+matern32 = Kernel(1, _matern32_pair, "matern32", ("matern", 3))
 
 
 def _matern52_pair(theta, xa, xb):
@@ -72,7 +72,7 @@ def _matern52_pair(theta, xa, xb):
     return (1 + SQRT5 * d + (5.0 / 3.0) * d * d) * jnp.exp(-SQRT5 * d)
 
 
-matern52 = Kernel(1, _matern52_pair, "matern52")
+matern52 = Kernel(1, _matern52_pair, "matern52", ("matern", 5))
 
 
 def _rq_pair(theta, xa, xb):
@@ -85,7 +85,7 @@ def _rq_pair(theta, xa, xb):
     return (1.0 + d2 / (2.0 * alpha * l * l)) ** (-alpha)
 
 
-rational_quadratic = Kernel(2, _rq_pair, "rational_quadratic")
+rational_quadratic = Kernel(2, _rq_pair, "rational_quadratic", ("rq",))
 
 
 def _linear_pair(theta, xa, xb):
@@ -137,7 +137,7 @@ def _matern12_pair(theta, xa, xb):
     return jnp.exp(-d)
 
 
-matern12 = Kernel(1, _matern12_pair, "matern12")
+matern12 = Kernel(1, _matern12_pair, "matern12", ("matern", 1))
 exponential = matern12  # conventional alias (OU process covariance)
 
 _TWO_PI_SQ = 2.0 * jnp.pi * jnp.pi
@@ -182,4 +182,4 @@ def spectral_mixture(q: int, ndim: int = 1) -> Kernel:
         phase = jnp.cos(_TWO_PI * mu * tau)  # (q, ndim)
         return jnp.sum(w * jnp.prod(envelope * phase, axis=1))
 
-    return Kernel(q * (1 + 2 * ndim), pair, f"spectral_mixture(q={q})")
+    return Kernel(q * (1 + 2 * ndim), pair, f"spectral_mixture(q={q})", ("sm", q, ndim))

@@ -111,3 +111,39 @@ class TestBORun:
             state = step_upd(state, x[None, :], jnp.atleast_1d(y))
         assert step_acq._cache_size() == 1 and step_upd._cache_size() == 1
         assert abs(float(state.best_x[0]) - 3.1) < 1.0
+
+
+class TestThompsonPath:
+    def test_thompson_path_finds_optimum(self):
+        gp = _gp()
+        grid = jnp.linspace(0.0, 10.0, 101)[:, None]
+        state, _ = bo.bo_run(
+            gp, jnp.array([5.0, 1.5]), jnp.array([0.05]),
+            lambda x: -((x[0] - 3.1) ** 2), grid, num_iters=20,
+            key=jax.random.PRNGKey(3), kind="thompson-path",
+        )
+        assert abs(float(state.best_x[0]) - 3.1) < 0.25, float(state.best_x[0])
+
+    def test_path_scores_are_a_coherent_function(self):
+        # same key -> the SAME sampled function: scoring a subset matches
+        # the corresponding entries of scoring the full grid
+        gp = _gp()
+        state = bo.bo_init(gp, jnp.array([5.0, 1.5]), jnp.array([0.05]), capacity=8)
+        state = bo.bo_update(gp, state, jnp.array([[2.0], [7.0]]), jnp.array([0.3, -0.2]))
+        grid = jnp.linspace(0.0, 10.0, 21)[:, None]
+        key = jax.random.PRNGKey(9)
+        full = np.asarray(bo.thompson_path_scores(gp, state, grid, key))
+        sub = np.asarray(bo.thompson_path_scores(gp, state, grid[5:9], key))
+        np.testing.assert_allclose(full[5:9], sub, rtol=1e-10)
+
+    def test_path_scores_track_posterior(self):
+        # near an observed point with tiny noise, sampled paths hug the data
+        gp = _gp()
+        state = bo.bo_init(gp, jnp.array([2.0, 1.0]), jnp.array([0.01]), capacity=4)
+        state = bo.bo_update(gp, state, jnp.array([[5.0]]), jnp.array([1.7]))
+        at_obs = np.asarray(
+            bo.thompson_path_scores(
+                gp, state, jnp.array([[5.0]]), jax.random.PRNGKey(1), num_features=2048
+            )
+        )
+        assert abs(at_obs[0] - 1.7) < 0.15

@@ -1,0 +1,166 @@
+"""Pathwise (decoupled) posterior sampling: random-feature priors +
+Matheron conditioning (gp/pathwise.py).
+
+Validates the three layers independently:
+- the sampled feature expansion reproduces each supported kernel
+  (Bochner: E[Phi Phi^T] -> K as F -> inf);
+- prior paths have the GP prior's moments;
+- conditioned paths have the exact posterior's moments (mean is exact in
+  expectation for ANY feature count; covariance converges in F) — checked
+  against the core predict path (reference Produce semantics,
+  gp/gp.go:258-360).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gogp_tpu.gp import pathwise
+from gogp_tpu.gp.core import GP, absorb, predict_from_posterior
+from gogp_tpu.gp.serve import compile_posterior, serve_predict_cov
+from gogp_tpu.kernels import (
+    matern12,
+    matern32,
+    matern52,
+    matern52_ref,
+    normal,
+    periodic,
+    rational_quadratic,
+    spectral_mixture,
+    uniform_noise,
+)
+
+KEY = jax.random.PRNGKey(7)
+
+
+def _khat(kernel, theta, pts, f=16384, ndim=1, key=KEY):
+    feat = pathwise.sample_features(kernel, jnp.asarray(theta, jnp.float64), key, f, ndim)
+    phi = pathwise.eval_features(feat, pts)
+    return phi @ phi.T
+
+
+CASES = [
+    ("rbf", normal, [1.3], 1),
+    ("matern12", matern12, [0.8], 1),
+    ("matern32", matern32, [0.8], 1),
+    ("matern52", matern52, [1.1], 1),
+    ("periodic", periodic, [1.1, 2.3], 1),
+    ("rq", rational_quadratic, [1.0, 1.5], 1),
+    ("scaled_rbf", normal.scaled(), [1.7, 0.9], 1),
+    ("sum", normal.scaled() + matern32.scaled(), [0.8, 1.2, 1.4, 0.7], 1),
+    ("prod", normal * matern32, [1.5, 0.9], 1),
+    ("sm", spectral_mixture(2), [0.6, 0.9, 0.3, 1.1, 0.05, 0.2], 1),
+    ("rbf2d", normal, [1.0], 2),
+    ("ard", normal.ard(2), [0.7, 1.9, 1.0], 2),
+    ("matern32_2d", matern32, [1.2], 2),
+]
+
+
+@pytest.mark.parametrize("name,kernel,theta,ndim", CASES, ids=[c[0] for c in CASES])
+def test_feature_expansion_matches_kernel(name, kernel, theta, ndim):
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-2.0, 2.0, size=(7, ndim)))
+    k_true = kernel.matrix(jnp.asarray(theta, jnp.float64), pts, pts)
+    k_hat = _khat(kernel, theta, pts, ndim=ndim)
+    assert np.max(np.abs(np.asarray(k_hat - k_true))) < 0.07
+
+
+def test_periodic_discrete_spectrum_is_exactly_periodic():
+    # harmonic frequencies are multiples of 2 pi / p: a sampled expansion
+    # is exactly p-periodic, not just approximately
+    theta = jnp.asarray([1.4, 2.0], jnp.float64)
+    feat = pathwise.sample_features(periodic, theta, KEY, 512, 1)
+    z = jnp.asarray([[0.3], [0.7]])
+    phi1 = pathwise.eval_features(feat, z)
+    phi2 = pathwise.eval_features(feat, z + 2.0)
+    np.testing.assert_allclose(np.asarray(phi1), np.asarray(phi2), atol=1e-9)
+
+
+def test_prior_path_moments():
+    kernel = normal.scaled()
+    theta = jnp.asarray([1.5, 0.9], jnp.float64)
+    pts = jnp.asarray(np.linspace(-1.5, 1.5, 6)[:, None])
+    feat, w = pathwise.prior_paths(kernel, theta, KEY, 8192, 8192, 1)
+    fs = pathwise.eval_prior_paths(feat, w, pts)  # (S, m)
+    k_true = np.asarray(kernel.matrix(theta, pts, pts))
+    mean = np.mean(np.asarray(fs), axis=0)
+    cov = np.cov(np.asarray(fs).T)
+    assert np.max(np.abs(mean)) < 0.08
+    assert np.max(np.abs(cov - k_true)) < 0.12
+
+
+def _toy_posterior(n=24, noise=0.15):
+    gp = GP(ndim=1, simil=normal.scaled(), noise=uniform_noise)
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(-3.0, 3.0, size=(n, 1)), axis=0)
+    y = np.sin(1.3 * x[:, 0]) + noise * rng.normal(size=n)
+    post = absorb(gp, jnp.asarray([1.1, 0.8]), jnp.asarray([noise]), x, y)
+    return gp, post, x, y
+
+
+def test_posterior_path_mean_matches_predict():
+    # Matheron mean is exact in expectation at ANY feature count — only MC
+    # error over the S paths remains.  F small on purpose.
+    gp, post, _, _ = _toy_posterior()
+    z = jnp.asarray(np.linspace(-3.5, 3.5, 9)[:, None])
+    ps = pathwise.sample_paths(gp, post, jax.random.PRNGKey(1), 8192, num_features=256)
+    fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+    mu, _ = predict_from_posterior(gp, post, z)
+    assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu))) < 0.06
+
+
+def test_posterior_path_covariance_matches_joint():
+    gp, post, _, _ = _toy_posterior()
+    z = jnp.asarray(np.linspace(-3.0, 3.0, 8)[:, None])
+    ps = pathwise.sample_paths(gp, post, jax.random.PRNGKey(2), 8192, num_features=8192)
+    fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+    sp = compile_posterior(gp, post)
+    _, cov = serve_predict_cov(gp, sp, z)
+    err = np.abs(np.cov(fs.T) - np.asarray(cov))
+    assert err.max() < 0.08
+
+
+def test_paths_are_coherent_functions():
+    # the same PathState evaluated twice (and through jit) gives the SAME
+    # function values — a trajectory, not a per-call draw
+    gp, post, _, _ = _toy_posterior()
+    ps = pathwise.sample_paths(gp, post, jax.random.PRNGKey(3), 4, num_features=128)
+    z1 = jnp.asarray([[0.1], [1.2], [2.5]])
+    a = pathwise.eval_paths(gp, ps, z1)
+    b = jax.jit(lambda p, z: pathwise.eval_paths(gp, p, z))(ps, z1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    # overlapping grids agree pointwise
+    c = pathwise.eval_paths(gp, ps, jnp.asarray([[1.2]]))
+    np.testing.assert_allclose(np.asarray(a[:, 1]), np.asarray(c[:, 0]), rtol=1e-12)
+
+
+def test_padding_invariance():
+    gp, post, x, y = _toy_posterior(n=16)
+    z = jnp.asarray([[0.5], [-1.0]])
+    ps = pathwise.sample_paths(gp, post, jax.random.PRNGKey(5), 64, num_features=512)
+    fs = pathwise.eval_paths(gp, ps, z)
+    # same data padded to 24 rows: identical paths (same key -> the padded
+    # rows carry zero residual and masked kstar)
+    xp = np.concatenate([x, np.zeros((8, 1))])
+    yp = np.concatenate([y, np.zeros(8)])
+    mask = np.concatenate([np.ones(16), np.zeros(8)])
+    post_p = absorb(gp, post.theta_simil, post.theta_noise, xp, yp, mask)
+    ps_p = pathwise.sample_paths(gp, post_p, jax.random.PRNGKey(5), 64, num_features=512)
+    fs_p = pathwise.eval_paths(gp, ps_p, z)
+    # different eps draws for padded shape -> compare moments, not bits
+    np.testing.assert_allclose(
+        np.asarray(fs).mean(axis=0), np.asarray(fs_p).mean(axis=0), atol=0.35
+    )
+    # exactness of the masked update: padded-state paths at padded rows add
+    # nothing — v is zero there
+    assert np.max(np.abs(np.asarray(ps_p.v)[16:, :])) < 1e-9
+
+
+def test_unsupported_kernel_raises():
+    gp, post, _, _ = _toy_posterior()
+    with pytest.raises(ValueError, match="spectral structure"):
+        pathwise.sample_features(matern52_ref, jnp.asarray([1.0]), KEY, 64, 1)
+    warped = normal.warp_inputs(lambda x: x * 2.0)
+    with pytest.raises(ValueError, match="spectral structure"):
+        pathwise.sample_features(warped, jnp.asarray([1.0]), KEY, 64, 1)

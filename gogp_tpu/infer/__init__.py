@@ -18,6 +18,14 @@ from gogp_tpu.infer.chees import (
     run_chees_pops,
 )
 from gogp_tpu.infer.diagnostics import ess, split_rhat
+from gogp_tpu.infer.elliptical import (
+    ESSResult,
+    ess_predict,
+    ess_predict_prob,
+    ess_update,
+    run_ess,
+    run_ess_gp,
+)
 from gogp_tpu.infer.pt_chees import (
     PTChEESResult,
     pt_chees_init,
@@ -64,8 +72,14 @@ __all__ = [
     "adam",
     "adapt",
     "diagnostics",
+    "ESSResult",
     "elbo",
     "ess",
+    "ess_predict",
+    "ess_predict_prob",
+    "ess_update",
+    "run_ess",
+    "run_ess_gp",
     "hmc_transition",
     "init_state",
     "lbfgs",

@@ -25,6 +25,8 @@ Layer map (mirrors reference layers, SURVEY.md §1, but functional):
   (reference: tutorial/).
 - ``gogp_tpu.bo``        — Bayesian optimization on the serving/streaming
   stack (no counterpart; the canonical production consumer of a GP).
+- ``gogp_tpu.search``    — greedy compositional kernel-structure discovery
+  scored by BIC/AIC/exact-LOO (the reference picks kernels by hand).
 """
 
 __version__ = "0.1.0"

@@ -14,6 +14,14 @@ from gogp_tpu.gp.core import (  # noqa: F401
     predict_mixture,
     predict_prior,
 )
+from gogp_tpu.gp.model_selection import (  # noqa: F401
+    LOOResult,
+    aic,
+    bic,
+    loo,
+    loo_from_posterior,
+    loo_score,
+)
 from gogp_tpu.gp.pathwise import (  # noqa: F401
     PathFeatures,
     PathState,

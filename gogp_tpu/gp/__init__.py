@@ -31,6 +31,7 @@ from gogp_tpu.gp.pathwise import (  # noqa: F401
     sample_features,
     sample_paths,
 )
+from gogp_tpu.gp.ski import lml_ski, predict_ski  # noqa: F401
 from gogp_tpu.gp.serve import (  # noqa: F401
     ServingMixture,
     ServingPosterior,

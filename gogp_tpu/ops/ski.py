@@ -1,0 +1,143 @@
+"""SKI / KISS-GP: structured kernel interpolation for IRREGULAR 1-D inputs.
+
+ops/toeplitz gives O(n log n) inference but demands a regular input grid
+(gp.core.lml_toeplitz's constraint).  SKI (Wilson & Nickisch 2015) removes
+that constraint: place an inducing grid of g regular points under the data
+and approximate
+
+    K  ~=  W K_g W^T  +  noise_diag
+
+with ``K_g`` the (symmetric Toeplitz) grid covariance and ``W`` an (n, g)
+sparse cubic-interpolation matrix (4 taps per row, Keys' cubic-convolution
+kernel, exact partition of unity).  Every matvec is then
+
+    gather -> FFT circulant product (O(g log g)) -> scatter      + O(n)
+
+and the whole iterative engine (CG solves, SLQ logdet, frozen-solution
+Hutchinson gradients — ops/iterative) applies unchanged.  Unlike the pure
+Toeplitz path this also supports HETEROSCEDASTIC noise: the noise diagonal
+lives in data space, not grid space.
+
+TPU notes: the scatter/gather touch (n, 4) elements against g-length
+buffers — small next to the FFT; everything is static-shape and the grid
+placement is traced arithmetic (min/max/floor), so the wrapper jits with
+no host-side grid checks at all.  1-D only: the multi-dim version needs
+Kronecker grid algebra (out of scope; use lml_iterative/matfree there).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gogp_tpu.ops.toeplitz import toeplitz_matvec_fn
+
+Array = jax.Array
+
+
+def cubic_interp(x: Array, grid0, h, g: int) -> tuple[Array, Array]:
+    """Keys cubic-convolution interpolation of points onto a regular grid.
+
+    ``x``: (n,) 1-D positions; grid point j sits at grid0 + j*h.  Returns
+    (idx (n, 4) int32, w (n, 4)) with sum_j w[i, j] = 1 exactly for any
+    interior point (taps clamp at the boundary — place the grid with >= 2
+    cells of margin so no data point is within 2 cells of an edge).
+    """
+    u = (x - grid0) / h
+    base = jnp.floor(u)
+    frac = u - base
+    # tap j = 0..3 sits at grid index base - 1 + j, signed distance
+    # s_j = frac + 1 - j in [-2, 2]
+    offs = jnp.arange(4, dtype=u.dtype)
+    s = jnp.abs(frac[:, None] + 1.0 - offs[None, :])  # (n, 4)
+    near = 1.5 * s**3 - 2.5 * s**2 + 1.0
+    far = -0.5 * s**3 + 2.5 * s**2 - 4.0 * s + 2.0
+    w = jnp.where(s <= 1.0, near, jnp.where(s < 2.0, far, 0.0))
+    idx = jnp.clip(base.astype(jnp.int32)[:, None] - 1 + jnp.arange(4)[None, :], 0, g - 1)
+    return idx, w
+
+
+def interp_t(idx: Array, w: Array, g: int, V: Array) -> Array:
+    """W^T V: scatter-add the 4 taps of each point into grid space.
+    V: (n, k) -> (g, k)."""
+    n = idx.shape[0]
+    flat_idx = idx.reshape(n * 4)
+    contrib = (w[:, :, None] * V[:, None, :]).reshape(n * 4, V.shape[1])
+    return jnp.zeros((g, V.shape[1]), V.dtype).at[flat_idx].add(contrib)
+
+
+def interp(idx: Array, w: Array, U: Array) -> Array:
+    """W U: gather the 4 taps of each point from grid space.
+    U: (g, k) -> (n, k)."""
+    return jnp.sum(w[:, :, None] * U[idx], axis=1)
+
+
+def ski_matvec_fn(c_grid: Array, idx: Array, w: Array, noise_diag: Array):
+    """Batched matvec V -> (W T_g W^T + diag(noise)) V; V: (n,) or (n, k)."""
+    g = c_grid.shape[0]
+    tmv = toeplitz_matvec_fn(c_grid)
+
+    def mv(V):
+        squeeze = V.ndim == 1
+        Vm = V[:, None] if squeeze else V
+        out = interp(idx, w, tmv(interp_t(idx, w, g, Vm)))
+        out = out + noise_diag[:, None] * Vm
+        return out[:, 0] if squeeze else out
+
+    return mv
+
+
+def lml_ski_core(
+    c_fn,
+    noise_fn,
+    idx: Array,
+    w: Array,
+    y: Array,
+    key: Array,
+    num_probes: int = 16,
+    cg_iters: int = 100,
+    lanczos_iters: int = 32,
+):
+    """-1/2 (log|K| + y^T K^-1 y) for the SKI operator, frozen-solution
+    gradient aux — the exact analogue of ops.toeplitz.lml_toeplitz_core.
+
+    ``c_fn() -> (g,)`` grid-kernel first column; ``noise_fn() -> (n,)``
+    noise diagonal (both closing over hyperparameters).  Returns
+    (value, (alpha, Z, S)) for a custom VJP over
+    :func:`ski_quadratic_forms`.
+    """
+    from gogp_tpu.ops.iterative import cg_solve, rademacher, slq_logdet
+
+    mv = ski_matvec_fn(c_fn(), idx, w, noise_fn())
+    n = y.shape[0]
+    k1, k2 = jax.random.split(jnp.asarray(key))
+    probes_slq = rademacher(k1, (num_probes, n), y.dtype)
+    probes_tr = rademacher(k2, (n, num_probes), y.dtype)
+    X, _ = cg_solve(mv, jnp.concatenate([y[:, None], probes_tr], axis=1), cg_iters)
+    alpha, S = X[:, 0], X[:, 1:]
+    logdet = slq_logdet(mv, probes_slq, lanczos_iters)
+    value = -0.5 * (logdet + jnp.dot(y, alpha))
+    return value, (alpha, probes_tr, S)
+
+
+def ski_quadratic_forms(
+    c_fn, noise_fn, idx: Array, w: Array, alpha: Array, Z: Array, S: Array
+) -> Array:
+    """h = alpha^T K alpha - (1/2p) tr(Z S^T K + S Z^T K) through the SKI
+    matvec; d lml = g/2 * dh/dtheta with (alpha, Z, S) frozen
+    (ops.toeplitz.toeplitz_quadratic_forms contract)."""
+    mv = ski_matvec_fn(c_fn(), idx, w, noise_fn())
+    p = Z.shape[1]
+    quad = jnp.dot(alpha, mv(alpha))
+    tr = 0.5 * (jnp.sum(Z * mv(S)) + jnp.sum(S * mv(Z)))
+    return quad - tr / p
+
+
+__all__ = [
+    "cubic_interp",
+    "interp",
+    "interp_t",
+    "lml_ski_core",
+    "ski_matvec_fn",
+    "ski_quadratic_forms",
+]

@@ -1,0 +1,116 @@
+"""SKI / KISS-GP (ops/ski.py, gp/ski.py): interpolation operator accuracy,
+LML + gradient vs the exact dense path on irregular 1-D inputs,
+heteroscedastic noise support, and predict parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gogp_tpu.gp import core, ski as gski
+from gogp_tpu.kernels import matern32, rbf, uniform_noise
+from gogp_tpu.ops import ski
+
+
+def _data(n=256, seed=0, span=10.0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, span, size=(n, 1)), axis=0)
+    y = np.sin(x[:, 0]) + 0.3 * np.cos(2.3 * x[:, 0]) + 0.1 * rng.normal(size=n)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+class TestOperator:
+    def test_cubic_weights_partition_of_unity(self):
+        x = jnp.asarray(np.random.default_rng(1).uniform(1.0, 9.0, 200))
+        idx, w = ski.cubic_interp(x, jnp.asarray(0.0), jnp.asarray(0.05), 256)
+        np.testing.assert_allclose(np.asarray(w.sum(axis=1)), 1.0, atol=1e-12)
+        assert int(idx.min()) >= 0 and int(idx.max()) < 256
+
+    def test_matvec_approximates_dense(self):
+        gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = _data(128)
+        ts, tn = jnp.asarray([1.0, 1.0]), jnp.asarray([0.3])
+        K = np.asarray(core.masked_cov(gp, ts, tn, x, jnp.ones(128)))
+        gmin, h, col = gski._grid_col(gp, ts, x[:, 0], 1024)
+        idx, w = ski.cubic_interp(x[:, 0], gmin, h, 1024)
+        mv = ski.ski_matvec_fn(col, idx, w, gp.noise.vector(tn, x))
+        v = jnp.asarray(np.random.default_rng(2).normal(size=128))
+        got = np.asarray(mv(v))
+        want = K @ np.asarray(v)
+        assert np.max(np.abs(got - want)) < 2e-4, np.max(np.abs(got - want))
+
+    def test_interp_adjoint(self):
+        # interp and interp_t are exact transposes
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(1.0, 9.0, 50))
+        idx, w = ski.cubic_interp(x, jnp.asarray(0.0), jnp.asarray(0.1), 128)
+        U = jnp.asarray(rng.normal(size=(128, 3)))
+        V = jnp.asarray(rng.normal(size=(50, 3)))
+        a = float(jnp.sum(V * ski.interp(idx, w, U)))
+        b = float(jnp.sum(U * ski.interp_t(idx, w, 128, V)))
+        assert abs(a - b) < 1e-10
+
+
+class TestLML:
+    def test_value_matches_exact(self):
+        gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = _data(256)
+        ts, tn = jnp.asarray([0.8, 1.2]), jnp.asarray([0.25])
+        exact = float(core.lml(gp, ts, tn, x, y))
+        got = float(gski.lml_ski(gp, ts, tn, x, y, jax.random.PRNGKey(0),
+                                 grid_size=1024, num_probes=32, lanczos_iters=48))
+        # SLQ probe error scales with the LOGDET (hundreds of nats here),
+        # not the lml; the estimator contract is per-datapoint nats
+        assert abs(got - exact) / len(y) < 2e-2, (got, exact)
+
+    def test_gradient_matches_exact(self):
+        gp = core.GP(ndim=1, simil=matern32.scaled(), noise=uniform_noise)
+        x, y = _data(200, seed=4)
+        v0 = jnp.asarray([0.9, 1.1, 0.3])
+
+        def f_ski(v):
+            return gski.lml_ski(gp, v[:2], v[2:], x, y, jax.random.PRNGKey(1),
+                                grid_size=2048, num_probes=32, cg_iters=200,
+                                lanczos_iters=48)
+
+        def f_exact(v):
+            return core.lml(gp, v[:2], v[2:], x, y)
+
+        g_ski = np.asarray(jax.grad(f_ski)(v0))
+        g_ex = np.asarray(jax.grad(f_exact)(v0))
+        rel = np.abs(g_ski - g_ex) / np.maximum(np.abs(g_ex), 1e-3)
+        assert rel.max() < 5e-2, (g_ski, g_ex)
+
+    def test_heteroscedastic_noise(self):
+        # input-dependent noise: impossible on the pure Toeplitz path
+        from gogp_tpu.kernels.base import NoiseKernel
+
+        het = NoiseKernel(1, lambda t, xi: t[0] * t[0] * (1.0 + xi[0] / 10.0), "het")
+        gp = core.GP(ndim=1, simil=rbf.scaled(), noise=het)
+        x, y = _data(128, seed=5)
+        ts, tn = jnp.asarray([1.0, 1.0]), jnp.asarray([0.3])
+        exact = float(core.lml(gp, ts, tn, x, y))
+        got = float(gski.lml_ski(gp, ts, tn, x, y, jax.random.PRNGKey(2),
+                                 grid_size=1024, num_probes=96, lanczos_iters=64))
+        assert abs(got - exact) / len(y) < 2e-2, (got, exact)
+
+    def test_jit(self):
+        gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = _data(64, seed=6)
+        f = jax.jit(lambda ts, tn: gski.lml_ski(gp, ts, tn, x, y,
+                                                jax.random.PRNGKey(3), grid_size=256))
+        a = float(f(jnp.asarray([1.0, 1.0]), jnp.asarray([0.3])))
+        b = float(gski.lml_ski(gp, jnp.asarray([1.0, 1.0]), jnp.asarray([0.3]),
+                               x, y, jax.random.PRNGKey(3), grid_size=256))
+        assert abs(a - b) < 1e-6
+
+
+class TestPredict:
+    def test_matches_exact_predict(self):
+        gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = _data(256, seed=7)
+        ts, tn = jnp.asarray([1.0, 1.1]), jnp.asarray([0.2])
+        z = jnp.asarray(np.linspace(-0.5, 10.5, 33)[:, None])
+        mu1, s1 = gski.predict_ski(gp, ts, tn, x, y, z, grid_size=2048)
+        mu2, s2 = core.predict(gp, ts, tn, x, y, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-3)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-3)

@@ -50,11 +50,16 @@ def lml_ski(
     num_probes: int = 16,
     cg_iters: int = 100,
     lanczos_iters: int = 32,
+    method: str = "matmul",
 ) -> Array:
     """Log marginal likelihood through the SKI operator (irregular 1-D).
 
     No padding mask (at O(n log n) there is no reason to pad) — the same
     contract as :func:`gogp_tpu.gp.core.lml_toeplitz`.
+
+    ``method``: the W^T apply ("matmul" default — MXU one-hot form whose
+    one-pass-bf16 error sits below the SLQ estimator noise; "scatter"/
+    "sorted" are the exact forms, ops.ski.ski_matvec_fn docstring).
     """
     x, y = _as_xy(gp, x, y)
     n = x.shape[0]
@@ -62,6 +67,13 @@ def lml_ski(
         raise ValueError("lml_ski is 1-D only (Kronecker grids not implemented)")
     ts0 = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
     tn0 = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    # sort along the grid axis (LML is permutation-invariant): the W^T
+    # apply then runs scatter-free (ops.ski.interp_t_sorted — measured
+    # 3.4x faster matvecs on TPU); y's sort is a differentiable gather,
+    # so the -alpha cotangent lands back in caller order automatically
+    order = jnp.argsort(x[:, 0])
+    x = x[order]
+    y = y[order]
     xf = x[:, 0]
     # grid geometry is data-driven, never differentiated
     gmin, h0, _ = _grid_col(gp, jax.lax.stop_gradient(ts0), jax.lax.stop_gradient(xf), grid_size)
@@ -78,14 +90,14 @@ def lml_ski(
     def core(ts, tn, yv):
         value, _ = ski.lml_ski_core(
             lambda: c_of(ts), lambda: noise_of(tn), idx, w, yv, key,
-            num_probes, cg_iters, lanczos_iters,
+            num_probes, cg_iters, lanczos_iters, method,
         )
         return value
 
     def fwd(ts, tn, yv):
         value, aux = ski.lml_ski_core(
             lambda: c_of(ts), lambda: noise_of(tn), idx, w, yv, key,
-            num_probes, cg_iters, lanczos_iters,
+            num_probes, cg_iters, lanczos_iters, method,
         )
         return value, (ts, tn, aux)
 
@@ -94,7 +106,8 @@ def lml_ski(
 
         def hfun(ts_, tn_):
             return ski.ski_quadratic_forms(
-                lambda: c_of(ts_), lambda: noise_of(tn_), idx, w, alpha, Z, S
+                lambda: c_of(ts_), lambda: noise_of(tn_), idx, w, alpha, Z, S,
+                method,
             )
 
         gts, gtn = jax.grad(hfun, argnums=(0, 1))(ts, tn)
@@ -128,10 +141,13 @@ def predict_ski(
         raise ValueError("predict_ski is 1-D only")
     ts = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
     tn = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    order = jnp.argsort(x[:, 0])
+    x = x[order]
+    y = y[order]
     xf = x[:, 0]
     gmin, h0, col = _grid_col(gp, ts, xf, grid_size)
     idx, w = ski.cubic_interp(xf, gmin, h0, grid_size)
-    mv = ski.ski_matvec_fn(col, idx, w, gp.noise.vector(tn, x))
+    mv = ski.ski_matvec_fn(col, idx, w, gp.noise.vector(tn, x), method="sorted")
     kstar = gp.simil.matrix(ts, x, z)  # (n, m) exact
     X, _ = cg_solve(mv, jnp.concatenate([y[:, None], kstar], axis=1), cg_iters, tol)
     alpha, W = X[:, 0], X[:, 1:]

@@ -102,6 +102,31 @@ class ESSResult(NamedTuple):
     chol: Array  # (n, n) prior factor chol(K)
 
 
+def run_ess_chain(
+    loglik_fn: Callable[[Array], Array],
+    chol: Array,
+    f0c: Array,
+    keyc,
+    num_warmup: int,
+    num_samples: int,
+    thin: int = 1,
+):
+    """One ESS chain: (n,) initial state -> ((S,n), (S,), (S,)) draws/
+    logliks/shrink counts.  The unit both the vmapped and the mesh-sharded
+    drivers (parallel.sample.run_ess_sharded) build on."""
+    steps = num_warmup + num_samples * thin
+
+    def bodyfn(carry, k):
+        f, ll = carry
+        f, ll, i = ess_update(loglik_fn, chol, f, ll, k)
+        return (f, ll), (f, ll, i)
+
+    keys = jax.random.split(jnp.asarray(keyc), steps)
+    _, (fs, lls, shr) = jax.lax.scan(bodyfn, (f0c, loglik_fn(f0c)), keys)
+    sel = slice(num_warmup + thin - 1, None, thin)
+    return fs[sel], lls[sel], shr[sel]
+
+
 def run_ess(
     loglik_fn: Callable[[Array], Array],
     chol: Array,
@@ -112,23 +137,19 @@ def run_ess(
     thin: int = 1,
 ):
     """ESS over (C, n) initial states; returns ((C,S,n) draws, (C,S) logliks,
-    (C,S) shrink counts).  Pure function of (key, f0); chains are vmapped."""
+    (C,S) shrink counts).  Pure function of (key, f0); chains are vmapped
+    with per-chain keys fold_in(key, chain_index) — the same stream the
+    sharded driver assigns by GLOBAL chain id, so draws are device-count
+    invariant."""
     f0 = jnp.atleast_2d(jnp.asarray(f0))
     c = f0.shape[0]
-    steps = num_warmup + num_samples * thin
-
-    def chain(f0c, keyc):
-        def bodyfn(carry, k):
-            f, ll = carry
-            f, ll, i = ess_update(loglik_fn, chol, f, ll, k)
-            return (f, ll), (f, ll, i)
-
-        keys = jax.random.split(keyc, steps)
-        _, (fs, lls, shr) = jax.lax.scan(bodyfn, (f0c, loglik_fn(f0c)), keys)
-        sel = slice(num_warmup + thin - 1, None, thin)
-        return fs[sel], lls[sel], shr[sel]
-
-    return jax.vmap(chain)(f0, jax.random.split(jnp.asarray(key), c))
+    key = jnp.asarray(key)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(c))
+    return jax.vmap(
+        lambda f0c, k: run_ess_chain(
+            loglik_fn, chol, f0c, k, num_warmup, num_samples, thin
+        )
+    )(f0, keys)
 
 
 def run_ess_gp(

@@ -114,3 +114,33 @@ class TestPredict:
         mu2, s2 = core.predict(gp, ts, tn, x, y, z)
         assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-3)
         assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-3)
+
+
+class TestSortedFastPath:
+    def test_interp_t_sorted_matches_scatter(self):
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(np.sort(rng.uniform(1.0, 9.0, 300)))
+        idx, w = ski.cubic_interp(x, jnp.asarray(0.0), jnp.asarray(0.05), 256)
+        V = jnp.asarray(rng.normal(size=(300, 5)))
+        a = np.asarray(ski.interp_t(idx, w, 256, V))
+        b = np.asarray(ski.interp_t_sorted(idx, w, 256, V))
+        np.testing.assert_allclose(a, b, atol=1e-10)
+
+    def test_lml_ski_permutation_invariant(self):
+        # callers need not pre-sort: the wrapper sorts internally, and the
+        # y-gradient lands back in caller order through the gather VJP
+        gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = _data(96, seed=9)
+        perm = np.random.default_rng(10).permutation(96)
+        xp, yp = x[perm], y[perm]
+        ts, tn = jnp.asarray([1.0, 1.0]), jnp.asarray([0.3])
+        f = lambda xx, yy: gski.lml_ski(gp, ts, tn, xx, yy, jax.random.PRNGKey(4),
+                                        grid_size=512, num_probes=16)
+        assert abs(float(f(x, y)) - float(f(xp, yp))) < 1e-8
+        gy = jax.grad(lambda yy: gski.lml_ski(gp, ts, tn, xp, yy,
+                                              jax.random.PRNGKey(4), grid_size=512,
+                                              num_probes=16))(yp)
+        gy0 = jax.grad(lambda yy: gski.lml_ski(gp, ts, tn, x, yy,
+                                               jax.random.PRNGKey(4), grid_size=512,
+                                               num_probes=16))(y)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(gy0)[perm], atol=1e-9)

@@ -73,14 +73,24 @@ class TestAppend:
         ts, tn = jnp.array([1.0, 1.0]), jnp.array([0.25])
         x, y = _data(16, seed=2)
         cap = 24
-        step = jax.jit(lambda p, xb, yb: streaming.absorb_append(gp, p, xb, yb))
+        # count actual RETRACES (Python body executions) rather than
+        # _cache_size(): the latter proved order-dependent under a full
+        # suite run (global cache bookkeeping), while the invariant that
+        # matters is that one trace serves every append
+        traces = []
+
+        def _step(p, xb, yb):
+            traces.append(1)
+            return streaming.absorb_append(gp, p, xb, yb)
+
+        step = jax.jit(_step)
         post = streaming.streaming_posterior(gp, ts, tn, cap, dtype=x.dtype)
         for i in range(0, 16, 4):
             post = step(post, x[i : i + 4], y[i : i + 4])
         want = _full_posterior(gp, ts, tn, x, y, cap)
         assert np.allclose(np.asarray(post.chol), np.asarray(want.chol), atol=1e-8)
         # the same jitted step served every append (one shape signature)
-        assert step._cache_size() == 1
+        assert len(traces) == 1, f"retraced {len(traces)} times"
 
     def test_scan_stream_matches(self):
         gp = _gp()

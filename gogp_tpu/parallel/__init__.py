@@ -19,6 +19,7 @@ from gogp_tpu.parallel.sample import (
     run_hmc_sharded,
     run_mcmc_sharded,
     run_chees_pops_sharded,
+    run_ess_sharded,
     run_chees_sharded,
     run_nuts_sharded,
     run_pt_chees_distributed,
@@ -52,6 +53,7 @@ __all__ = [
     "run_hmc_sharded",
     "run_mcmc_sharded",
     "run_chees_pops_sharded",
+    "run_ess_sharded",
     "run_chees_sharded",
     "run_nuts_sharded",
     "run_pt_chees_distributed",

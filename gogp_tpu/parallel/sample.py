@@ -1018,3 +1018,60 @@ def run_pt_sharded(
 
     f = jax.jit(jax.vmap(one), in_shardings=(sh, sh))
     return f(jax.device_put(position0, sh), jax.device_put(keys, sh))
+
+
+def run_ess_sharded(
+    loglik_fn: Callable,
+    chol: Array,
+    f0: Array,
+    rng: Array,
+    mesh: Mesh,
+    num_warmup: int = 256,
+    num_samples: int = 256,
+    thin: int = 1,
+):
+    """Elliptical slice sampling with chains sharded over the mesh.
+
+    ESS chains share no adaptation state, so — like run_chees_pops_sharded
+    — the compiled program contains NO collectives: adding chips
+    multiplies chains at constant walltime.  Per-chain rng is
+    fold_in(rng, global chain id), exactly the stream infer.elliptical.
+    run_ess assigns, so draws are bitwise device-count invariant (tested
+    on the 8-virtual-device CPU mesh).  ``chol`` (the latent prior factor)
+    is replicated; returns ((C,S,n), (C,S), (C,S)) like run_ess.
+    """
+    from gogp_tpu.infer.elliptical import run_ess_chain
+
+    f0 = jnp.asarray(f0)
+    c = f0.shape[0]
+    n_dev = mesh.devices.size
+    if c % n_dev != 0:
+        raise ValueError(f"{c} chains not divisible by {n_dev} devices")
+    local = c // n_dev
+    data_size = mesh.shape[DATA_AXIS]
+    rng = jnp.asarray(rng)
+    axes = (CHAIN_AXIS, DATA_AXIS)
+
+    def device_fn(f0_local):
+        dev = jax.lax.axis_index(CHAIN_AXIS) * data_size + jax.lax.axis_index(
+            DATA_AXIS
+        )
+        ids = dev * local + jnp.arange(local)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(ids)
+        return jax.vmap(
+            lambda f0c, k: run_ess_chain(
+                loglik_fn, chol, f0c, k, num_warmup, num_samples, thin
+            )
+        )(f0_local, keys)
+
+    shard = P(axes)
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard,),
+            out_specs=(shard, shard, shard),
+            check_vma=False,
+        )
+    )
+    return fn(f0)

@@ -124,3 +124,41 @@ class TestInvariants:
         fs = np.asarray(res.f)
         moved = np.abs(np.diff(fs, axis=1)).max(axis=(0, 2))
         assert (moved > 0).all()       # every step accepts (ESS property)
+
+
+class TestSharded:
+    def test_device_count_invariance(self):
+        # chains over an 8-device mesh produce BITWISE the single-device
+        # draws (per-chain fold_in streams; zero collectives)
+        from gogp_tpu.parallel import mesh as pmesh
+        from gogp_tpu.parallel.sample import run_ess_sharded
+        from gogp_tpu.infer.elliptical import run_ess
+        from gogp_tpu.gp.core import masked_cov
+        from gogp_tpu.ops import linalg
+
+        gp = core.GP(ndim=1, simil=rbf.scaled())
+        x, f, _ = _data(12)
+        y = (f > 0).astype(float)
+        ts = jnp.asarray([1.0, 1.0])
+        K = masked_cov(gp, ts, jnp.zeros(0), jnp.asarray(x), jnp.ones(12))
+        chol = linalg.cholesky(K)
+        loglik = lambda fv: bernoulli_logit.sum_logp(jnp.zeros(0), fv, jnp.asarray(y))
+        f0 = jnp.zeros((16, 12))
+        key = jax.random.PRNGKey(11)
+        # mesh layouts with the same per-device batch are bitwise equal
+        # (identical executables, identical fold_in streams)
+        mesh = pmesh.make_mesh(n_chain=4, n_data=2)
+        b = run_ess_sharded(loglik, chol, f0, key, mesh, num_warmup=10, num_samples=5)
+        mesh1 = pmesh.make_mesh(n_chain=8, n_data=1)
+        c = run_ess_sharded(loglik, chol, f0, key, mesh1, num_warmup=10, num_samples=5)
+        np.testing.assert_array_equal(np.asarray(b[0]), np.asarray(c[0]))
+        # vs the vmapped single-device run: different batched-matvec fusion
+        # puts ULP noise on the ellipse draw and slice acceptance is a
+        # threshold event, so chains diverge chaotically — agreement is
+        # statistical, not bitwise
+        a = run_ess(loglik, chol, f0, key, num_warmup=200, num_samples=300)
+        d = run_ess_sharded(loglik, chol, f0, key, mesh, num_warmup=200,
+                            num_samples=300)
+        mean_a = np.asarray(a[0]).reshape(-1, 12).mean(axis=0)
+        mean_d = np.asarray(d[0]).reshape(-1, 12).mean(axis=0)
+        assert np.max(np.abs(mean_a - mean_d)) < 0.15, (mean_a, mean_d)

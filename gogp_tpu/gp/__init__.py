@@ -25,11 +25,14 @@ from gogp_tpu.gp.model_selection import (  # noqa: F401
 from gogp_tpu.gp.pathwise import (  # noqa: F401
     PathFeatures,
     PathState,
+    SparsePathState,
     eval_paths,
+    eval_paths_sparse,
     eval_prior_paths,
     prior_paths,
     sample_features,
     sample_paths,
+    sample_paths_svgp,
 )
 from gogp_tpu.gp.ski import lml_ski, predict_ski  # noqa: F401
 from gogp_tpu.gp.serve import (  # noqa: F401

@@ -265,13 +265,86 @@ def eval_paths(gp: GP, ps: PathState, z) -> Array:
     return prior + (kstar.T @ ps.v).T
 
 
+# ---------------------------------------------------------------------------
+# Sparse (inducing-point) pathwise sampling — SVGP / SGPR posteriors.
+# ---------------------------------------------------------------------------
+
+
+class SparsePathState(NamedTuple):
+    """S sparse posterior sample-functions: RFF prior + inducing update.
+
+    f_s(t) = Phi(t) w_s + k(t, Z) v_s   with
+    v_s = Kzz^{-1} (u_s - f_prior_s(Z)),  u_s ~ q(u).
+    """
+
+    feat: PathFeatures
+    weights: Array  # (S, F)
+    v: Array  # (M, S)
+    theta_simil: Array
+    z: Array  # (M, ndim) inducing inputs
+
+
+def sample_paths_svgp(
+    gp: GP,
+    theta_simil,
+    state,
+    key,
+    num_paths: int,
+    num_features: int = 1024,
+    jitter: float | None = None,
+) -> SparsePathState:
+    """Pathwise sample-functions from a fitted (whitened) SVGP posterior.
+
+    Wilson et al. 2020's sparse decoupled sampler: draw u_s = L(q_mu +
+    S eps) from q(u), a random-feature prior path, and correct through the
+    inducing points — every evaluation afterwards is O(F + M) per point,
+    independent of the training-set size.  ``state`` is a
+    :class:`gogp_tpu.gp.sparse.SVGPState`; for SGPR compile the optimal
+    whitened state first (:func:`gogp_tpu.gp.sparse.svgp_optimal_state`) —
+    its q reproduces the collapsed posterior exactly.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from gogp_tpu.gp.sparse import DEFAULT_JITTER, _chol_kuu
+
+    if jitter is None:
+        jitter = DEFAULT_JITTER
+    theta_simil = jnp.asarray(theta_simil).reshape(gp.n_theta_simil)
+    kp, ke = jax.random.split(jnp.asarray(key))
+    feat, w = prior_paths(
+        gp.simil, theta_simil, kp, num_paths, num_features, gp.ndim
+    )
+    z = state.z
+    m = z.shape[0]
+    L = _chol_kuu(gp, theta_simil, z, jitter)  # (M, M)
+    S = jnp.tril(state.q_sqrt)
+    eps = jax.random.normal(ke, (num_paths, m), dtype=z.dtype)
+    vs = state.q_mu[None, :] + eps @ S.T  # whitened draws v_s ~ N(q_mu, SS^T)
+    fp_z = eval_prior_paths(feat, w, z)  # (S, M)
+    # L^{-1}(u_s - fp(Z)) = v_s - L^{-1} fp(Z); then one upper solve
+    resid = vs.T - solve_triangular(L, fp_z.T, lower=True)  # (M, S)
+    v = solve_triangular(L, resid, lower=True, trans=1)  # (M, S) = Kzz^{-1}(u - fp)
+    return SparsePathState(feat, w, v, theta_simil, z)
+
+
+def eval_paths_sparse(gp: GP, ps: SparsePathState, t) -> Array:
+    """Evaluate sparse posterior sample-functions at ``t``: (S, m)."""
+    t = jnp.atleast_2d(jnp.asarray(t))
+    prior = eval_prior_paths(ps.feat, ps.weights, t)  # (S, m)
+    kzt = gp.simil.matrix(ps.theta_simil, ps.z, t)  # (M, m)
+    return prior + (kzt.T @ ps.v).T
+
+
 __all__ = [
     "PathFeatures",
     "PathState",
+    "SparsePathState",
     "eval_features",
     "eval_paths",
+    "eval_paths_sparse",
     "eval_prior_paths",
     "prior_paths",
     "sample_features",
     "sample_paths",
+    "sample_paths_svgp",
 ]

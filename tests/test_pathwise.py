@@ -164,3 +164,47 @@ def test_unsupported_kernel_raises():
     warped = normal.warp_inputs(lambda x: x * 2.0)
     with pytest.raises(ValueError, match="spectral structure"):
         pathwise.sample_features(warped, jnp.asarray([1.0]), KEY, 64, 1)
+
+
+class TestSparsePathwise:
+    def _fit(self):
+        from gogp_tpu.gp import sparse
+        gp = GP(ndim=1, simil=normal.scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(2)
+        x = np.sort(rng.uniform(-3, 3, (120, 1)), axis=0)
+        y = np.sin(1.2 * x[:, 0]) + 0.1 * rng.normal(size=120)
+        z = np.linspace(-3, 3, 16)[:, None]
+        ts, tn = jnp.asarray([1.0, 0.9]), jnp.asarray([0.1])
+        state = sparse.svgp_optimal_state(gp, ts, tn, x, y, z)
+        return gp, ts, state, x, y
+
+    def test_moments_match_svgp_predict(self):
+        from gogp_tpu.gp import sparse
+        gp, ts, state, _, _ = self._fit()
+        t = jnp.asarray(np.linspace(-3.5, 3.5, 9)[:, None])
+        ps = pathwise.sample_paths_svgp(gp, ts, state, jax.random.PRNGKey(0),
+                                        8192, num_features=8192)
+        fs = np.asarray(pathwise.eval_paths_sparse(gp, ps, t))
+        mu, sd = sparse.svgp_predict(gp, ts, state, t)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu))) < 0.06
+        assert np.max(np.abs(fs.std(axis=0) - np.asarray(sd))) < 0.06
+
+    def test_sgpr_paths_track_exact_posterior(self):
+        # the optimal whitened q reproduces the SGPR (collapsed) posterior;
+        # with many inducing points that is close to the exact GP
+        gp, ts, state, x, y = self._fit()
+        ps = pathwise.sample_paths_svgp(gp, ts, state, jax.random.PRNGKey(1),
+                                        4096, num_features=4096)
+        t = jnp.asarray(np.linspace(-2.5, 2.5, 7)[:, None])
+        fs = np.asarray(pathwise.eval_paths_sparse(gp, ps, t))
+        post = absorb(gp, ts, jnp.asarray([0.1]), x, y)
+        mu_ex, _ = predict_from_posterior(gp, post, t)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu_ex))) < 0.08
+
+    def test_coherent_functions(self):
+        gp, ts, state, _, _ = self._fit()
+        ps = pathwise.sample_paths_svgp(gp, ts, state, jax.random.PRNGKey(2),
+                                        4, num_features=256)
+        a = pathwise.eval_paths_sparse(gp, ps, jnp.asarray([[0.3], [1.1]]))
+        b = pathwise.eval_paths_sparse(gp, ps, jnp.asarray([[1.1]]))
+        np.testing.assert_allclose(np.asarray(a[:, 1]), np.asarray(b[:, 0]), rtol=1e-12)

@@ -144,6 +144,44 @@ def thompson_path_scores(
     return pathwise.eval_paths(gp, ps, candidates)[0]
 
 
+def acquire_batch_thompson(
+    gp: GP,
+    state: BOState,
+    candidates: Array,
+    key: Array,
+    q: int,
+    num_features: int = 512,
+) -> tuple[Array, Array]:
+    """Pick ``q`` candidates to evaluate IN PARALLEL by batch Thompson
+    sampling: q independent pathwise posterior draws, each proposing its
+    own argmax (Kandasamy et al. 2018's parallel TS, exact here — no
+    fantasies or hallucinated updates needed because the draws are
+    coherent functions).  Duplicates are resolved toward distinct points:
+    a candidate already taken by an earlier draw falls through to that
+    draw's best unclaimed candidate.  Returns (indices (q,), scores
+    (q, m)).  Cost: one batched state build + one (q, m) evaluation —
+    O(q m (F + n)); the grid-exact equivalent would need q sequential
+    m x m factorizations.
+    """
+    from gogp_tpu.gp import pathwise
+
+    candidates = jnp.asarray(candidates, dtype=state.post.x.dtype)
+    if candidates.ndim == 1:
+        candidates = candidates[:, None]
+    ps = pathwise.sample_paths(gp, state.post, key, q, num_features)
+    scores = pathwise.eval_paths(gp, ps, candidates)  # (q, m)
+
+    def pick(taken, s):
+        # mask out already-claimed candidates, then argmax
+        masked = jnp.where(taken, -jnp.inf, s)
+        i = jnp.argmax(masked)
+        return taken.at[i].set(True), i
+
+    taken0 = jnp.zeros(candidates.shape[0], dtype=bool)
+    _, idx = jax.lax.scan(pick, taken0, scores)
+    return idx, scores
+
+
 def bo_update(gp: GP, state: BOState, x_new, y_new) -> BOState:
     """Absorb one (or a batch of) new observation(s); track the incumbent."""
     x_new = jnp.asarray(x_new, dtype=state.post.x.dtype)
@@ -210,6 +248,7 @@ def bo_run(
 __all__ = [
     "BOState",
     "acquire",
+    "acquire_batch_thompson",
     "bo_init",
     "bo_run",
     "bo_update",

@@ -147,3 +147,36 @@ class TestThompsonPath:
             )
         )
         assert abs(at_obs[0] - 1.7) < 0.15
+
+
+class TestBatchThompson:
+    def test_batch_points_are_distinct_and_sane(self):
+        gp = _gp()
+        state = bo.bo_init(gp, jnp.array([4.0, 1.2]), jnp.array([0.05]), capacity=8)
+        state = bo.bo_update(gp, state, jnp.array([[2.0], [8.0]]), jnp.array([0.5, 1.5]))
+        grid = jnp.linspace(0.0, 10.0, 51)[:, None]
+        idx, scores = bo.acquire_batch_thompson(gp, state, grid,
+                                                jax.random.PRNGKey(0), q=4)
+        ii = np.asarray(idx)
+        assert len(set(ii.tolist())) == 4          # distinct points
+        assert scores.shape == (4, 51)
+
+    def test_batch_bo_converges(self):
+        # parallel BO: evaluate q=3 points per round against a jittable
+        # objective; converges with fewer ROUNDS than sequential budget
+        gp = _gp()
+        grid = jnp.linspace(0.0, 10.0, 101)[:, None]
+        obj = lambda x: -((x - 3.1) ** 2)
+        state = bo.bo_init(gp, jnp.array([5.0, 1.5]), jnp.array([0.05]),
+                           capacity=2 + 5 * 3)
+        key = jax.random.PRNGKey(1)
+        key, sub = jax.random.split(key)
+        x0 = grid[jax.random.choice(sub, 101, (2,), replace=False)]
+        state = bo.bo_update(gp, state, x0, jax.vmap(lambda xx: obj(xx[0]))(x0))
+        for _ in range(5):
+            key, sub = jax.random.split(key)
+            idx, _ = bo.acquire_batch_thompson(gp, state, grid, sub, q=3)
+            xb = grid[idx]
+            yb = jax.vmap(lambda xx: obj(xx[0]))(xb)
+            state = bo.bo_update(gp, state, xb, yb)
+        assert abs(float(state.best_x[0]) - 3.1) < 0.3, float(state.best_x[0])

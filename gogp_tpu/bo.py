@@ -144,6 +144,50 @@ def thompson_path_scores(
     return pathwise.eval_paths(gp, ps, candidates)[0]
 
 
+def thompson_path_optimize(
+    gp: GP,
+    state: BOState,
+    key: Array,
+    bounds: tuple,
+    num_restarts: int = 8,
+    steps: int = 100,
+    lr: float = 0.05,
+    num_features: int = 512,
+) -> tuple[Array, Array]:
+    """CONTINUOUS-domain Thompson: draw one pathwise posterior sample and
+    maximize it by multi-start gradient ascent — possible only because the
+    pathwise draw is a differentiable function (grid Thompson cannot leave
+    its grid).  ``bounds`` = (lo, hi) arrays of shape (ndim,); restarts
+    are vmapped, iterates clip to the box.  Returns (x (ndim,), value)."""
+    from gogp_tpu.gp import pathwise
+
+    lo = jnp.broadcast_to(jnp.asarray(bounds[0], state.post.x.dtype), (gp.ndim,))
+    hi = jnp.broadcast_to(jnp.asarray(bounds[1], state.post.x.dtype), (gp.ndim,))
+    kp, k0 = jax.random.split(jnp.asarray(key))
+    ps = pathwise.sample_paths(gp, state.post, kp, 1, num_features)
+
+    def f(x):
+        return pathwise.eval_paths(gp, ps, x[None, :])[0, 0]
+
+    g = jax.grad(f)
+    x0 = lo + (hi - lo) * jax.random.uniform(
+        k0, (num_restarts, gp.ndim), dtype=lo.dtype
+    )
+    scale = lr * (hi - lo)
+
+    def ascend(x):
+        def step(x, _):
+            x = jnp.clip(x + scale * g(x), lo, hi)
+            return x, None
+
+        x, _ = jax.lax.scan(step, x, None, length=steps)
+        return x, f(x)
+
+    xs, vals = jax.vmap(ascend)(x0)
+    i = jnp.argmax(vals)
+    return xs[i], vals[i]
+
+
 def acquire_batch_thompson(
     gp: GP,
     state: BOState,
@@ -253,6 +297,7 @@ __all__ = [
     "bo_run",
     "bo_update",
     "expected_improvement",
+    "thompson_path_optimize",
     "thompson_path_scores",
     "upper_confidence_bound",
 ]

@@ -266,6 +266,55 @@ def eval_paths(gp: GP, ps: PathState, z) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Laplace (non-Gaussian likelihood) pathwise sampling.
+# ---------------------------------------------------------------------------
+
+
+def sample_paths_laplace(
+    gp: GP,
+    post,
+    key,
+    num_paths: int,
+    num_features: int = 1024,
+) -> PathState:
+    """Posterior sample-functions from a fitted Laplace posterior
+    (classification / counts / robust regression — gp/laplace.py).
+
+    The Laplace posterior N(f_hat, (K^{-1} + W)^{-1}) is exactly a GP
+    regression posterior with pseudo-targets  ytilde = f_hat + W^{-1} g
+    (g the likelihood gradient at the mode) and heteroscedastic noise
+    W^{-1}, so Matheron conditioning applies verbatim:
+
+        f_s(.) = fp_s(.) + k(., X) (K + W^{-1})^{-1} (ytilde - fp_s(X) - eps),
+        eps ~ N(0, W^{-1})
+
+    with the solve through the stored stable factor:
+    (K + W^{-1})^{-1} r = W^0.5 B^{-1} W^0.5 r,  B = I + W^0.5 K W^0.5.
+    Rows with W = 0 (padding, or flat-likelihood points) carry infinite
+    pseudo-noise — zero information — and drop out exactly.
+
+    Returns a :class:`PathState`; evaluate with :func:`eval_paths`.
+    The draws are over the LATENT f — push through the likelihood's
+    inverse link for class-probability trajectories.
+    """
+    kp, ke = jax.random.split(jnp.asarray(key))
+    feat, w = prior_paths(
+        gp.simil, post.theta_simil, kp, num_paths, num_features, gp.ndim
+    )
+    fp_x = eval_prior_paths(feat, w, post.x)  # (S, n)
+    sw = post.sqrt_w  # (n,) W^0.5, 0 at padded/flat rows
+    live = sw > 0.0
+    # W^0.5 (ytilde - fp(X)) = W^0.5 (f_hat - fp) + g / W^0.5  (0 where W=0)
+    g_over_sw = jnp.where(live, post.grad_ll / jnp.where(live, sw, 1.0), 0.0)
+    u_det = sw[None, :] * (post.f_hat[None, :] - fp_x) + g_over_sw[None, :]
+    # W^0.5 eps with eps ~ N(0, W^{-1}):  standard normal on live rows
+    z = jax.random.normal(ke, fp_x.shape, dtype=fp_x.dtype)
+    u = (u_det - z * live[None, :].astype(fp_x.dtype)) * post.mask[None, :]
+    v = sw[:, None] * linalg.cho_solve_mat(post.chol_b, u.T)  # (n, S)
+    return PathState(feat, w, v, post.theta_simil, post.x, post.mask)
+
+
+# ---------------------------------------------------------------------------
 # Sparse (inducing-point) pathwise sampling — SVGP / SGPR posteriors.
 # ---------------------------------------------------------------------------
 

@@ -180,3 +180,25 @@ class TestBatchThompson:
             yb = jax.vmap(lambda xx: obj(xx[0]))(xb)
             state = bo.bo_update(gp, state, xb, yb)
         assert abs(float(state.best_x[0]) - 3.1) < 0.3, float(state.best_x[0])
+
+
+class TestContinuousThompson:
+    def test_beats_coarse_grid_on_same_path(self):
+        gp = _gp()
+        state = bo.bo_init(gp, jnp.array([3.0, 1.0]), jnp.array([0.05]), capacity=8)
+        state = bo.bo_update(gp, state, jnp.array([[2.0], [5.0], [8.0]]),
+                             jnp.array([0.5, 1.8, -0.2]))
+        key = jax.random.PRNGKey(3)
+        x_opt, v_opt = bo.thompson_path_optimize(
+            gp, state, key, (jnp.array([0.0]), jnp.array([10.0])),
+            num_restarts=8, steps=200,
+        )
+        # same key -> same sampled path; its max over a coarse grid cannot
+        # beat the continuous optimum
+        from gogp_tpu.gp import pathwise
+        kp, _ = jax.random.split(key)
+        ps = pathwise.sample_paths(gp, state.post, kp, 1, 512)
+        grid = jnp.linspace(0.0, 10.0, 11)[:, None]
+        grid_best = float(jnp.max(pathwise.eval_paths(gp, ps, grid)))
+        assert float(v_opt) >= grid_best - 1e-9
+        assert 0.0 <= float(x_opt[0]) <= 10.0

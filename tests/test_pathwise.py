@@ -208,3 +208,65 @@ class TestSparsePathwise:
         a = pathwise.eval_paths_sparse(gp, ps, jnp.asarray([[0.3], [1.1]]))
         b = pathwise.eval_paths_sparse(gp, ps, jnp.asarray([[1.1]]))
         np.testing.assert_allclose(np.asarray(a[:, 1]), np.asarray(b[:, 0]), rtol=1e-12)
+
+
+class TestLaplacePathwise:
+    def test_gaussian_likelihood_reduces_to_exact(self):
+        # with a Gaussian likelihood the Laplace posterior IS the exact GP
+        # posterior: path moments must match the exact latent predictive
+        from gogp_tpu.gp import laplace
+        from gogp_tpu.gp.likelihoods import gaussian
+
+        gp = GP(ndim=1, simil=normal.scaled())
+        rng = np.random.default_rng(4)
+        x = np.sort(rng.uniform(-3, 3, (20, 1)), axis=0)
+        sigma = 0.3
+        y = np.sin(1.3 * x[:, 0]) + sigma * rng.normal(size=20)
+        ts = jnp.asarray([1.0, 0.9])
+        post = laplace.laplace_fit(gp, gaussian, ts, jnp.asarray([sigma]), x, y)
+        ps = pathwise.sample_paths_laplace(gp, post, jax.random.PRNGKey(0),
+                                           8192, num_features=4096)
+        z = jnp.asarray(np.linspace(-3, 3, 7)[:, None])
+        fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+        gpn = GP(ndim=1, simil=normal.scaled(), noise=uniform_noise)
+        mu_ex, sd_ex = __import__("gogp_tpu.gp.core", fromlist=["predict"]).predict(
+            gpn, ts, jnp.asarray([sigma]), x, y, z)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu_ex))) < 0.06
+        assert np.max(np.abs(fs.std(axis=0) - np.asarray(sd_ex))) < 0.06
+
+    def test_classification_path_moments(self):
+        from gogp_tpu.gp import laplace
+        from gogp_tpu.gp.likelihoods import bernoulli_logit
+
+        gp = GP(ndim=1, simil=normal.scaled())
+        rng = np.random.default_rng(5)
+        x = np.sort(rng.uniform(-3, 3, (24, 1)), axis=0)
+        y = (rng.uniform(size=24) < 1 / (1 + np.exp(-2 * np.sin(1.4 * x[:, 0])))).astype(float)
+        ts = jnp.asarray([1.2, 1.0])
+        post = laplace.laplace_fit(gp, bernoulli_logit, ts, jnp.zeros(0), x, y)
+        ps = pathwise.sample_paths_laplace(gp, post, jax.random.PRNGKey(1),
+                                           8192, num_features=4096)
+        z = jnp.asarray(np.linspace(-3, 3, 7)[:, None])
+        fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+        mu, sd = laplace.laplace_predict(gp, post, z)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu))) < 0.07
+        assert np.max(np.abs(fs.std(axis=0) - np.asarray(sd))) < 0.07
+
+    def test_padded_rows_drop_out(self):
+        from gogp_tpu.gp import laplace
+        from gogp_tpu.gp.likelihoods import bernoulli_logit
+
+        gp = GP(ndim=1, simil=normal.scaled())
+        rng = np.random.default_rng(6)
+        x = np.sort(rng.uniform(-2, 2, (10, 1)), axis=0)
+        y = (np.sin(x[:, 0]) > 0).astype(float)
+        xp = np.concatenate([x, np.zeros((4, 1))])
+        yp = np.concatenate([y, np.zeros(4)])
+        m = np.concatenate([np.ones(10), np.zeros(4)])
+        post = laplace.laplace_fit(gp, bernoulli_logit, jnp.asarray([1.0, 1.0]),
+                                   jnp.zeros(0), xp, yp, mask=m)
+        ps = pathwise.sample_paths_laplace(gp, post, jax.random.PRNGKey(2), 32,
+                                           num_features=256)
+        v = np.asarray(ps.v)
+        assert np.isfinite(v).all()
+        assert np.max(np.abs(v[10:, :])) < 1e-12

@@ -57,6 +57,9 @@ def evaluate_classify(
     rate: float = 0.05,
     minopt: int = MINOPT,
     theta0: np.ndarray | None = None,
+    ess_chains: int = 4,
+    ess_warmup: int = 200,
+    ess_samples: int = 200,
 ):
     """Rolling one-step-ahead class-probability evaluation, batched.
 
@@ -84,8 +87,16 @@ def evaluate_classify(
     elif engine == "ep":
         lml_fn = ep_mod.ep_lml
         fit_fn, prob_fn = ep_mod.ep_fit, ep_mod.ep_predict_prob
+    elif engine == "ess":
+        # exact latent inference: hyperparameters fit by the Laplace
+        # marginal (the standard Laplace-then-sample workflow), class
+        # probabilities from elliptical-slice draws of the EXACT latent
+        # posterior (infer/elliptical.py) instead of the Gaussian
+        # approximation
+        lml_fn = lap_mod.laplace_lml
+        fit_fn = prob_fn = None
     else:
-        raise ValueError(f"unknown engine {engine!r} (laplace|ep)")
+        raise ValueError(f"unknown engine {engine!r} (laplace|ep|ess)")
 
     def logp(v, mask):
         theta = jnp.exp(v)
@@ -103,15 +114,35 @@ def evaluate_classify(
 
     vs, lml0s, lmls = jax.jit(jax.vmap(fit_row))(v0s, masks, iters_row)
 
-    def pred_row(v, mask, z):
-        theta = jnp.exp(v)
-        post = fit_fn(
-            gp, lik, theta[:nts], theta[nts + ntn :], xj, yj,
-            theta_noise=theta[nts : nts + ntn], mask=mask,
-        )
-        return prob_fn(gp, lik, post, z[None, :])[0]
+    if engine == "ess":
+        from gogp_tpu.infer import elliptical as ess_mod
 
-    probs = jax.jit(jax.vmap(pred_row))(vs, masks, xj)
+        key0 = jax.random.PRNGKey(seed)
+
+        def pred_row(v, mask, z, row):
+            theta = jnp.exp(v)
+            res = ess_mod.run_ess_gp(
+                gp, lik, theta[:nts], theta[nts + ntn :], xj, yj,
+                jax.random.fold_in(key0, row),
+                theta_noise=theta[nts : nts + ntn], mask=mask,
+                num_chains=ess_chains, num_warmup=ess_warmup,
+                num_samples=ess_samples,
+            )
+            return ess_mod.ess_predict_prob(gp, lik, res, z[None, :])[0]
+
+        probs = jax.jit(jax.vmap(pred_row))(
+            vs, masks, xj, jnp.arange(xj.shape[0])
+        )
+    else:
+        def pred_row(v, mask, z):
+            theta = jnp.exp(v)
+            post = fit_fn(
+                gp, lik, theta[:nts], theta[nts + ntn :], xj, yj,
+                theta_noise=theta[nts : nts + ntn], mask=mask,
+            )
+            return prob_fn(gp, lik, post, z[None, :])[0]
+
+        probs = jax.jit(jax.vmap(pred_row))(vs, masks, xj)
 
     rows = []
     vs_np, p_np = np.asarray(vs), np.asarray(probs)
@@ -135,7 +166,7 @@ def main(argv=None, wtr: IO[str] | None = None):
     ap = argparse.ArgumentParser(
         description="GP binary classification (Laplace/EP) rolling evaluation."
     )
-    ap.add_argument("-e", "--engine", default="laplace", choices=["laplace", "ep"])
+    ap.add_argument("-e", "--engine", default="laplace", choices=["laplace", "ep", "ess"])
     ap.add_argument("-a", default="adam", choices=["adam"],
                     help="(reference CLI shape; classification uses adam)")
     ap.add_argument("--probit", action="store_true",

@@ -60,3 +60,14 @@ def test_cli_main():
     out = buf.getvalue().strip().splitlines()
     assert len(out) == len(rows) == 40
     assert all(len(line.split(",")) == 7 for line in out)
+
+
+def test_ess_engine_agrees_with_laplace():
+    # exact-latent predictions vs the Gaussian approximation: same fitted
+    # hyperparameters (both engines fit by the Laplace marginal), so any
+    # gap is approximation error + MC noise - small for logit models
+    a = _run(engine="laplace", iters=25)
+    b = _run(engine="ess", iters=25)
+    p_lap, p_ess = a[:, 2], b[:, 2]
+    assert np.all((p_ess > 0) & (p_ess < 1))
+    assert np.max(np.abs(p_ess - p_lap)) < 0.12, np.max(np.abs(p_ess - p_lap))

@@ -18,11 +18,14 @@ Hutchinson gradients — ops/iterative) applies unchanged.  Unlike the pure
 Toeplitz path this also supports HETEROSCEDASTIC noise: the noise diagonal
 lives in data space, not grid space.
 
-TPU notes: the scatter/gather touch (n, 4) elements against g-length
+TPU notes: the scatter/gather touch (n, taps) elements against N-length
 buffers — small next to the FFT; everything is static-shape and the grid
 placement is traced arithmetic (min/max/floor), so the wrapper jits with
-no host-side grid checks at all.  1-D only: the multi-dim version needs
-Kronecker grid algebra (out of scope; use lml_iterative/matfree there).
+no host-side grid checks at all.  Multi-dimensional inputs use
+tensor-product taps (:func:`cubic_interp_nd`, 4^d per point) and a
+d-level block-Toeplitz grid covariance applied as one fftn circulant
+product (:func:`bttb_matvec_fn`) — the Kronecker-free form that works
+for ANY stationary kernel, separable or not.
 """
 
 from __future__ import annotations
@@ -57,19 +60,84 @@ def cubic_interp(x: Array, grid0, h, g: int) -> tuple[Array, Array]:
     return idx, w
 
 
+def cubic_interp_nd(x: Array, grid0, h, dims: tuple) -> tuple[Array, Array]:
+    """Tensor-product Keys cubic interpolation onto a d-dimensional grid.
+
+    ``x``: (n, d); ``grid0``/``h``: length-d arrays; ``dims``: grid points
+    per axis.  Returns (idx (n, 4^d) int32 FLAT indices into the
+    row-major prod(dims) grid, w (n, 4^d) tap weights — per-axis weight
+    products, so partition of unity holds exactly in d dims too)."""
+    import itertools
+
+    d = x.shape[1]
+    grid0 = jnp.asarray(grid0)
+    h = jnp.asarray(h)
+    per = [cubic_interp(x[:, a], grid0[a], h[a], dims[a]) for a in range(d)]
+    idxs, ws = [], []
+    for combo in itertools.product(range(4), repeat=d):
+        flat = jnp.zeros(x.shape[0], dtype=jnp.int32)
+        wprod = jnp.ones(x.shape[0], dtype=x.dtype)
+        for a, t in enumerate(combo):
+            flat = flat * dims[a] + per[a][0][:, t]
+            wprod = wprod * per[a][1][:, t]
+        idxs.append(flat)
+        ws.append(wprod)
+    return jnp.stack(idxs, axis=1), jnp.stack(ws, axis=1)
+
+
+def bttb_matvec_fn(lags: Array):
+    """Batched matvec for the d-level block-Toeplitz grid covariance.
+
+    ``lags``: d-dim array, lags[i1..id] = k(lag), lag = (i1 h1, .., id hd)
+    — any STATIONARY kernel on a regular grid has this structure (the
+    d-dim generalization of the symmetric-Toeplitz first column).  The
+    matvec embeds into a (2g1, .., 2gd) circulant and runs one fftn /
+    pointwise product / ifftn per apply: O(N log N), O(N) memory,
+    N = prod(dims).  V: (N,) or (N, k) in row-major grid order.
+    """
+    dims = lags.shape
+    d = len(dims)
+    emb = lags
+    for a in range(d):
+        zshape = list(emb.shape)
+        zshape[a] = 1
+        tail = jnp.flip(
+            jax.lax.slice_in_dim(emb, 1, dims[a], axis=a), axis=a
+        )
+        emb = jnp.concatenate([emb, jnp.zeros(zshape, emb.dtype), tail], axis=a)
+    spec = jnp.fft.fftn(emb, axes=tuple(range(d)))  # (2g1, .., 2gd) complex
+
+    def mv(V):
+        squeeze = V.ndim == 1
+        Vm = V[:, None] if squeeze else V
+        k = Vm.shape[1]
+        X = Vm.reshape(*dims, k)
+        pad = [(0, g, 0) for g in dims] + [(0, 0, 0)]
+        X = jax.lax.pad(X, jnp.zeros((), X.dtype), pad)
+        F = jnp.fft.fftn(X, axes=tuple(range(d)))
+        out = jnp.fft.ifftn(F * spec[..., None], axes=tuple(range(d))).real
+        for a in range(d):
+            out = jax.lax.slice_in_dim(out, 0, dims[a], axis=a)
+        out = out.astype(Vm.dtype).reshape(-1, k)
+        return out[:, 0] if squeeze else out
+
+    return mv
+
+
 def interp_t(idx: Array, w: Array, g: int, V: Array) -> Array:
-    """W^T V: scatter-add the 4 taps of each point into grid space.
+    """W^T V: scatter-add the taps of each point into grid space.
+    idx/w: (n, T) (T = 4 in 1-D, 4^d for the tensor-product grid);
     V: (n, k) -> (g, k).  Works for any input ordering; on TPU the
     duplicate-index scatter serializes (measured 2.4 ms at n=65536) — use
     :func:`interp_t_sorted` when the inputs are sorted."""
-    n = idx.shape[0]
-    flat_idx = idx.reshape(n * 4)
-    contrib = (w[:, :, None] * V[:, None, :]).reshape(n * 4, V.shape[1])
+    n, taps = idx.shape
+    flat_idx = idx.reshape(n * taps)
+    contrib = (w[:, :, None] * V[:, None, :]).reshape(n * taps, V.shape[1])
     return jnp.zeros((g, V.shape[1]), V.dtype).at[flat_idx].add(contrib)
 
 
 def interp_t_sorted(idx: Array, w: Array, g: int, V: Array) -> Array:
-    """W^T V for SORTED inputs — scatter-free.
+    """W^T V for SORTED 1-D inputs — scatter-free.
 
     When the data points are sorted along the grid axis, each tap column
     ``idx[:, j]`` is nondecreasing, so the points contributing to one grid
@@ -106,7 +174,7 @@ def interp_t_matmul(idx: Array, w: Array, g: int, V: Array,
     matters."""
     c = jnp.arange(g, dtype=idx.dtype)
     out = jnp.zeros((g, V.shape[1]), V.dtype)
-    for j in range(4):
+    for j in range(idx.shape[1]):
         Mj = (idx[:, j : j + 1] == c[None, :]).astype(V.dtype) * w[:, j : j + 1]
         out = out + jnp.matmul(Mj.T, V, precision=precision)
     return out
@@ -124,12 +192,15 @@ def ski_matvec_fn(
 ):
     """Batched matvec V -> (W T_g W^T + diag(noise)) V; V: (n,) or (n, k).
 
+    ``c_grid``: 1-D -> symmetric-Toeplitz first column (FFT circulant);
+    d-dim -> block-Toeplitz lag array (fftn circulant, bttb_matvec_fn);
+    the interpolation taps in idx/w must match (4 vs 4^d per point).
     ``method`` selects the W^T apply: "scatter" (exact, any input order),
-    "sorted" (exact, needs inputs sorted along the grid — cumsum segment
-    sums), "matmul" (MXU one-hot form, fastest on TPU, one-pass-bf16
-    error ~1e-3 unless ``precision`` raises it)."""
-    g = c_grid.shape[0]
-    tmv = toeplitz_matvec_fn(c_grid)
+    "sorted" (exact 1-D, needs inputs sorted along the grid — cumsum
+    segment sums), "matmul" (MXU one-hot form, fastest on TPU,
+    one-pass-bf16 error ~1e-3 unless ``precision`` raises it)."""
+    g = c_grid.size
+    tmv = toeplitz_matvec_fn(c_grid) if c_grid.ndim == 1 else bttb_matvec_fn(c_grid)
     if method == "scatter":
         wt = interp_t
     elif method == "sorted":
@@ -198,7 +269,9 @@ def ski_quadratic_forms(
 
 
 __all__ = [
+    "bttb_matvec_fn",
     "cubic_interp",
+    "cubic_interp_nd",
     "interp",
     "interp_t",
     "interp_t_matmul",

@@ -144,3 +144,65 @@ class TestSortedFastPath:
                                                jax.random.PRNGKey(4), grid_size=512,
                                                num_probes=16))(y)
         np.testing.assert_allclose(np.asarray(gy), np.asarray(gy0)[perm], atol=1e-9)
+
+
+class TestMultiDim:
+    def _data2d(self, n=300, seed=11):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(0.0, 5.0, size=(n, 2))
+        y = (np.sin(x[:, 0]) * np.cos(0.7 * x[:, 1])
+             + 0.1 * rng.normal(size=n))
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def test_bttb_matvec_matches_dense(self):
+        gp = core.GP(ndim=2, simil=matern32.scaled(), noise=uniform_noise)
+        x, y = self._data2d(128)
+        ts, tn = jnp.asarray([1.0, 1.2]), jnp.asarray([0.3])
+        K = np.asarray(core.masked_cov(gp, ts, tn, x, jnp.ones(128)))
+        from gogp_tpu.gp import ski as gs
+        dims = (64, 64)
+        g0, hs = gs._grid_geometry(x, dims)
+        idx, w = ski.cubic_interp_nd(x, g0, hs, dims)
+        lags = gs._grid_lags(gp, ts, hs, dims, x.dtype)
+        mv = ski.ski_matvec_fn(lags, idx, w, gp.noise.vector(tn, x))
+        v = jnp.asarray(np.random.default_rng(1).normal(size=128))
+        err = np.max(np.abs(np.asarray(mv(v)) - K @ np.asarray(v)))
+        assert err < 5e-3, err
+
+    def test_lml_2d_matches_exact(self):
+        gp = core.GP(ndim=2, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = self._data2d(256)
+        ts, tn = jnp.asarray([1.0, 1.0]), jnp.asarray([0.25])
+        exact = float(core.lml(gp, ts, tn, x, y))
+        got = float(gski.lml_ski(gp, ts, tn, x, y, jax.random.PRNGKey(0),
+                                 grid_size=(64, 64), num_probes=48,
+                                 lanczos_iters=48, method="scatter"))
+        assert abs(got - exact) / len(y) < 2e-2, (got, exact)
+
+    def test_gradient_2d(self):
+        gp = core.GP(ndim=2, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = self._data2d(200, seed=12)
+        v0 = jnp.asarray([0.9, 1.1, 0.3])
+
+        def f_ski(v):
+            return gski.lml_ski(gp, v[:2], v[2:], x, y, jax.random.PRNGKey(1),
+                                grid_size=(64, 64), num_probes=96,
+                                cg_iters=200, lanczos_iters=48, method="scatter")
+
+        g_ski = np.asarray(jax.grad(f_ski)(v0))
+        g_ex = np.asarray(jax.grad(
+            lambda v: core.lml(gp, v[:2], v[2:], x, y))(v0))
+        # Hutchinson trace noise ~1/sqrt(probes) dominates here
+        rel = np.abs(g_ski - g_ex) / np.maximum(np.abs(g_ex), 1e-2)
+        assert rel.max() < 1e-1, (g_ski, g_ex)
+
+    def test_predict_2d_matches_exact(self):
+        gp = core.GP(ndim=2, simil=rbf.scaled(), noise=uniform_noise)
+        x, y = self._data2d(256, seed=13)
+        ts, tn = jnp.asarray([1.0, 1.0]), jnp.asarray([0.2])
+        rngz = np.random.default_rng(14)
+        z = jnp.asarray(rngz.uniform(0.5, 4.5, size=(15, 2)))
+        mu1, s1 = gski.predict_ski(gp, ts, tn, x, y, z, grid_size=(96, 96))
+        mu2, s2 = core.predict(gp, ts, tn, x, y, z)
+        assert np.allclose(np.asarray(mu1), np.asarray(mu2), atol=3e-3)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=3e-3)

@@ -33,6 +33,7 @@ from gogp_tpu.gp.pathwise import (  # noqa: F401
     sample_features,
     sample_paths,
     sample_paths_laplace,
+    sample_paths_ski,
     sample_paths_svgp,
 )
 from gogp_tpu.gp.ski import lml_ski, predict_ski  # noqa: F401

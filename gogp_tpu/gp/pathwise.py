@@ -266,6 +266,66 @@ def eval_paths(gp: GP, ps: PathState, z) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# SKI-conditioned pathwise sampling — the large-n regime.
+# ---------------------------------------------------------------------------
+
+
+def sample_paths_ski(
+    gp: GP,
+    theta_simil,
+    theta_noise,
+    x,
+    y,
+    key,
+    num_paths: int,
+    num_features: int = 1024,
+    grid_size: int | tuple = 2048,
+    cg_iters: int = 200,
+    tol: float = 1e-6,
+    method: str | None = None,
+) -> PathState:
+    """Posterior sample-functions WITHOUT a factorization: the Matheron
+    solve runs as batched CG against the SKI operator (gp/ski.py), so
+    compiling S coherent posterior trajectories costs O(cg_iters x
+    (n 4^d + N log N)) — the n=10^5-on-one-chip regime where
+    :func:`sample_paths`'s dense Cholesky cannot exist.  Same PathState /
+    :func:`eval_paths` contract (mask all-ones; no padding at this scale).
+    """
+    from gogp_tpu.gp.core import _as_xy
+    from gogp_tpu.gp.ski import _grid_geometry, _grid_lags, _resolve_dims
+    from gogp_tpu.ops import ski as ski_ops
+    from gogp_tpu.ops.iterative import cg_solve
+
+    x, y = _as_xy(gp, x, y)
+    n, d = x.shape
+    dims = _resolve_dims(grid_size, d)
+    ts = jnp.asarray(theta_simil, dtype=x.dtype).reshape(gp.n_theta_simil)
+    tn = jnp.asarray(theta_noise, dtype=x.dtype).reshape(gp.n_theta_noise)
+    if method is None:
+        method = "scatter"
+    kp, ke = jax.random.split(jnp.asarray(key))
+    feat, w = prior_paths(gp.simil, ts, kp, num_paths, num_features, gp.ndim)
+    f_train = eval_prior_paths(feat, w, x)  # (S, n)
+    noise_var = gp.noise.vector(tn, x)
+    eps = jnp.sqrt(noise_var)[None, :] * jax.random.normal(
+        ke, f_train.shape, dtype=f_train.dtype
+    )
+    resid = y[None, :] - f_train - eps  # (S, n)
+
+    g0, hs = _grid_geometry(x, dims)
+    idx, tw = ski_ops.cubic_interp_nd(x, g0, hs, dims)
+    if d == 1:
+        grid = g0[0] + hs[0] * jnp.arange(dims[0], dtype=x.dtype)
+        c_grid = gp.simil.matrix(ts, grid[:, None], grid[:1, None])[:, 0]
+    else:
+        c_grid = _grid_lags(gp, ts, hs, dims, x.dtype)
+    mv = ski_ops.ski_matvec_fn(c_grid, idx, tw, noise_var, method)
+    v, _ = cg_solve(mv, resid.T, cg_iters, tol)  # (n, S)
+    mask = jnp.ones((n,), dtype=x.dtype)
+    return PathState(feat, w, v, ts, x, mask)
+
+
+# ---------------------------------------------------------------------------
 # Laplace (non-Gaussian likelihood) pathwise sampling.
 # ---------------------------------------------------------------------------
 
@@ -395,5 +455,7 @@ __all__ = [
     "prior_paths",
     "sample_features",
     "sample_paths",
+    "sample_paths_laplace",
+    "sample_paths_ski",
     "sample_paths_svgp",
 ]

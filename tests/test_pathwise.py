@@ -270,3 +270,37 @@ class TestLaplacePathwise:
         v = np.asarray(ps.v)
         assert np.isfinite(v).all()
         assert np.max(np.abs(v[10:, :])) < 1e-12
+
+
+class TestSKIPathwise:
+    def test_moments_match_dense_pathwise(self):
+        # SKI-conditioned paths vs the exact-factor paths on the same
+        # problem: same posterior, so moments agree within MC error
+        from gogp_tpu.gp.pathwise import sample_paths_ski
+
+        gp, post, x, y = _toy_posterior(n=64, noise=0.2)
+        z = jnp.asarray(np.linspace(-3, 3, 7)[:, None])
+        ps = sample_paths_ski(
+            gp, post.theta_simil, post.theta_noise, x, y,
+            jax.random.PRNGKey(0), 4096, num_features=4096, grid_size=512,
+        )
+        fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+        mu_ex, sd_ex = predict_from_posterior(gp, post, z)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu_ex))) < 0.07
+        assert np.max(np.abs(fs.std(axis=0) - np.asarray(sd_ex))) < 0.07
+
+    def test_2d(self):
+        from gogp_tpu.gp.pathwise import sample_paths_ski
+        from gogp_tpu.gp.core import predict
+
+        gp = GP(ndim=2, simil=normal.scaled(), noise=uniform_noise)
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 4, (200, 2))
+        y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.normal(size=200)
+        ts, tn = jnp.asarray([1.0, 1.0]), jnp.asarray([0.1])
+        ps = sample_paths_ski(gp, ts, tn, x, y, jax.random.PRNGKey(1),
+                              2048, num_features=4096, grid_size=(48, 48))
+        z = jnp.asarray(rng.uniform(0.5, 3.5, (5, 2)))
+        fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+        mu_ex, _ = predict(gp, ts, tn, x, y, z)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu_ex))) < 0.08

@@ -161,3 +161,65 @@ if __name__ == "__main__":
         bench_pathwise()
     if which in ("ski", "all"):
         bench_ski()
+    if which == "bigpath":
+        bench_bigpath()
+    if which == "ski2d":
+        bench_ski2d()
+
+
+def bench_bigpath(n=131072, m=4096, S=16, F=2048, g=8192):
+    """SKI-conditioned pathwise sampling at dense-factor-impossible n."""
+    from gogp_tpu.gp import core, pathwise
+    from gogp_tpu.kernels import rbf, uniform_noise
+
+    gp = core.GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 1000, (n, 1)), axis=0), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0] / 20.0) + 0.1 * rng.normal(size=n), jnp.float32)
+    ts, tn = jnp.asarray([1.0, 8.0], jnp.float32), jnp.asarray([0.1], jnp.float32)
+    z = jnp.asarray(np.linspace(0, 1000, m)[:, None], jnp.float32)
+
+    floor = device_loop_time(lambda a: a * 1.0000001, jnp.ones((8, 128)))
+    t_build = device_loop_time(
+        lambda k: pathwise.sample_paths_ski(
+            gp, ts, tn, x, y, k, S, num_features=F, grid_size=g,
+            cg_iters=100, method="sorted"),
+        jax.random.PRNGKey(0), reps=3,
+    ) - floor
+    ps = jax.jit(lambda k: pathwise.sample_paths_ski(
+        gp, ts, tn, x, y, k, S, num_features=F, grid_size=g,
+        cg_iters=100, method="sorted"))(jax.random.PRNGKey(0))
+    jax.block_until_ready(ps.v)
+    t_eval = device_loop_time(lambda p: pathwise.eval_paths(gp, p, z), ps) - floor
+    print(f"SKI pathwise n={n}: build {S} sample-functions {t_build:.1f} ms, "
+          f"eval at {m} pts {t_eval:.3f} ms "
+          f"(dense factor would need {8*n*n/2**30:.0f} GiB)", flush=True)
+
+
+def bench_ski2d(n=262144, g=512, probes=8, cg=60, lanczos=24):
+    """2-D spatial SKI LML+gradient at quarter-million points."""
+    from gogp_tpu.gp import core, ski as gski
+    from gogp_tpu.kernels import matern32, uniform_noise
+
+    gp = core.GP(ndim=2, simil=matern32.scaled(), noise=uniform_noise)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 100, (n, 2)), jnp.float32)
+    y = jnp.asarray(
+        np.sin(np.asarray(x)[:, 0] / 10) * np.cos(np.asarray(x)[:, 1] / 8)
+        + 0.1 * rng.normal(size=n), jnp.float32)
+    ts, tn = jnp.asarray([1.0, 5.0], jnp.float32), jnp.asarray([0.1], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    floor = device_loop_time(lambda a: a * 1.0000001, jnp.ones((8, 128)))
+
+    def vg(ts_, tn_):
+        return jax.value_and_grad(
+            lambda a, b: gski.lml_ski(gp, a, b, x, y, key, grid_size=(g, g),
+                                      num_probes=probes, cg_iters=cg,
+                                      lanczos_iters=lanczos, method="scatter"),
+            argnums=(0, 1),
+        )(ts_, tn_)
+
+    t = device_loop_time(vg, ts, tn, reps=3) - floor
+    print(f"2-D SKI lml+grad n={n} grid {g}x{g}: {t:.1f} ms "
+          f"(K would be {4*n*n/2**40:.1f} TiB)", flush=True)

@@ -6,7 +6,7 @@
 PY ?= python
 CXX ?= g++
 
-.PHONY: all test selfcheck bench native clean
+.PHONY: all test test-all selfcheck bench native clean
 
 all: native test selfcheck
 
@@ -18,7 +18,13 @@ native: native/libgogp_native.so
 native/libgogp_native.so: native/csv_parser.cpp native/loader.cpp
 	$(CXX) -O2 -shared -fPIC -pthread -o $@ native/csv_parser.cpp native/loader.cpp
 
+# Quick tier (~8 min): the sampler-moment long tail (tests/slow_tests.txt,
+# measured >4 s each) is excluded; every module keeps its fast tests.
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+# Everything (~37 min), including the slow tier.
+test-all:
 	$(PY) -m pytest tests/ -q
 
 # Every case study end-to-end on its embedded dataset (reference

@@ -195,7 +195,7 @@ def ep_fit(
     tol: float = 1e-8,
     damping: float = 0.7,
     order: int = 32,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ) -> EPPosterior:
     """Run damped parallel EP to convergence and package the posterior.
 
@@ -223,7 +223,7 @@ def ep_lml(
     tol: float = 1e-8,
     damping: float = 0.7,
     order: int = 32,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ) -> Array:
     """EP approximation of the log marginal likelihood.
 
@@ -301,7 +301,7 @@ def ep_predict_prob(
     )
 
 
-def compile_ep_serving(gp: GP, post: EPPosterior, precision: str | None = None):
+def compile_ep_serving(gp: GP, post: EPPosterior, precision: str | None = linalg.ACCURATE_PRECISION):
     """EPPosterior -> gp.serve.ServingPosterior (same algebra as the
     Laplace serving bridge: alpha stays alpha, W_serve = L_B^{-1} diag(S^0.5))."""
     from gogp_tpu.gp.serve import ServingPosterior
@@ -322,7 +322,7 @@ def make_ep_logp(
     tol: float = 1e-8,
     damping: float = 0.7,
     order: int = 32,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ):
     """Flat-vector hyperparameter log-density (Observe-protocol layout,
     [log theta_simil..., log theta_noise..., log theta_lik...]).  Returns

@@ -105,11 +105,12 @@ def _newton_step(lik: Likelihood, tl, K: Array, f: Array, y: Array, mask: Array,
     never needs a solve against K itself.
 
     ``precision``: matmul precision for the K matvecs and the B Cholesky.
-    At the TPU default (one-pass bf16) the Newton iteration has an absolute
-    error floor of ~0.4 in f at n=2048 (sqrt(n)-accumulated bf16 product
-    error in K @ b — measured, STATUS round 3); mode-quality-critical fits
-    (anything feeding laplace_lml gradients) should pass "tensorfloat32"
-    or "float32", same ladder as gp.serve.
+    At one-pass bf16 ("default") the Newton iteration has an absolute error
+    floor of ~0.4 in f at n=2048 (sqrt(n)-accumulated bf16 product error in
+    K @ b — measured, STATUS round 3), so the public entry points DEFAULT
+    to linalg.ACCURATE_PRECISION ("tensorfloat32"): stationarity residual
+    3.5e-3 at no measured cost (6.64 vs 6.75 ms at n=2048 — the Cholesky
+    dominates).  Same ladder as gp.serve.
     """
     gll, w = lik.grads(tl, f, y, mask)
     w = jnp.maximum(w, 0.0)  # no-op for log-concave likelihoods
@@ -190,7 +191,7 @@ def laplace_fit(
     mask=None,
     max_iters: int = 40,
     tol: float = 1e-9,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ) -> LaplacePosterior:
     """Find the latent mode and package the Laplace posterior.
 
@@ -220,7 +221,7 @@ def laplace_lml(
     mask=None,
     max_iters: int = 40,
     tol: float = 1e-9,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ) -> Array:
     """Laplace-approximate log marginal likelihood, GPML eq. 3.32:
 
@@ -312,7 +313,7 @@ def laplace_predict_prob(
     )
 
 
-def compile_laplace_serving(gp: GP, post: LaplacePosterior, precision: str | None = None):
+def compile_laplace_serving(gp: GP, post: LaplacePosterior, precision: str | None = linalg.ACCURATE_PRECISION):
     """LaplacePosterior -> gp.serve.ServingPosterior — classification serving.
 
     The Laplace predictive has exactly the GP serving algebra with
@@ -333,7 +334,7 @@ def compile_laplace_serving(gp: GP, post: LaplacePosterior, precision: str | Non
 
 def serve_predict_prob(
     gp: GP, lik: Likelihood, sp, theta_lik, z, order: int = 32,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ) -> Array:
     """Predictive p(y=1 | z) from a compiled Laplace serving cache."""
     from gogp_tpu.gp.serve import serve_predict
@@ -410,7 +411,7 @@ def make_laplace_logp(
     mask=None,
     max_iters: int = 40,
     tol: float = 1e-9,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ):
     """Flat-vector hyperparameter log-density following the Observe protocol.
 

@@ -55,7 +55,7 @@ class ServingPosterior(NamedTuple):
 
 
 def compile_posterior(
-    gp: GP, post: Posterior, precision: str | None = None
+    gp: GP, post: Posterior, precision: str | None = linalg.ACCURATE_PRECISION
 ) -> ServingPosterior:
     """Posterior -> ServingPosterior: invert the cached factor once.
 
@@ -73,7 +73,7 @@ def compile_posterior(
 
 
 def fit_serving(
-    gp: GP, theta_simil, theta_noise, x, y, mask=None, precision: str | None = None
+    gp: GP, theta_simil, theta_noise, x, y, mask=None, precision: str | None = linalg.ACCURATE_PRECISION
 ) -> ServingPosterior:
     """absorb + compile in one call — the fit-time entry point."""
     return compile_posterior(
@@ -82,7 +82,7 @@ def fit_serving(
 
 
 def serve_predict(
-    gp: GP, sp: ServingPosterior, z, precision: str | None = None
+    gp: GP, sp: ServingPosterior, z, precision: str | None = linalg.ACCURATE_PRECISION
 ) -> tuple[Array, Array]:
     """Predictive mean/std at test inputs ``z`` from the compiled cache.
 
@@ -94,12 +94,15 @@ def serve_predict(
 
     ``precision``: matmul precision for the serve matmuls.  The predictive
     variance is the difference of two nearly equal numbers wherever the
-    data explains the test point (var = prior - explained), so at the
-    default one-pass-bf16 precision sigma carries absolute noise of order
-    1e-2 * prior_var — the same error the TRSM predict path has (measured:
-    both 0.069 max abs vs the XLA oracle at n=4096).  Serving dashboards
-    that consume sigma should pass "tensorfloat32"/"float32"; mu is a
-    well-conditioned inner product and is fine at default.
+    data explains the test point (var = prior - explained), so at one-pass
+    bf16 ("default") sigma carries absolute noise of order 1e-2 *
+    prior_var — measured 6.9e-2 max abs vs the XLA oracle at n=4096, a
+    visible artifact on O(1) bands.  The DEFAULT is therefore
+    linalg.ACCURATE_PRECISION ("tensorfloat32": 8.3e-4 sigma error at
+    2.45 ms for 4096 points, still ~2x faster than XLA); mu-only
+    throughput serving may pass precision="default" for the 0.79 ms
+    one-pass path (mu is a well-conditioned inner product and is fine
+    there).
     """
     z = jnp.asarray(z)
     if z.ndim == 1:
@@ -115,7 +118,7 @@ def serve_predict(
 
 
 def serve_predict_cov(
-    gp: GP, sp: ServingPosterior, z, precision: str | None = None
+    gp: GP, sp: ServingPosterior, z, precision: str | None = linalg.ACCURATE_PRECISION
 ) -> tuple[Array, Array]:
     """Predictive mean and FULL joint covariance at ``z`` (m x m).
 
@@ -142,7 +145,7 @@ def serve_sample(
     key,
     num_samples: int = 1,
     jitter: float = 1e-8,
-    precision: str | None = None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
 ) -> Array:
     """Joint posterior function draws f(z) ~ N(mu, cov) — (num_samples, m).
 
@@ -177,7 +180,10 @@ class ServingMixture(NamedTuple):
         return self.alpha.shape[0]
 
 
-def compile_mixture(gp: GP, vs: Array, x, y, mask=None) -> ServingMixture:
+def compile_mixture(
+    gp: GP, vs: Array, x, y, mask=None,
+    precision: str | None = linalg.ACCURATE_PRECISION,
+) -> ServingMixture:
     """Compile S log-scale draws (NUTS/ChEES/SMC output under the reference
     Observe protocol) into a batched serving cache.
 
@@ -194,7 +200,7 @@ def compile_mixture(gp: GP, vs: Array, x, y, mask=None) -> ServingMixture:
     def one(v):
         theta = jnp.exp(v)
         post = absorb(gp, theta[:nts], theta[nts:], x, y, mask)
-        return post, linalg.tril_inv(post.chol)
+        return post, linalg.tril_inv(post.chol, precision)
 
     posts, ws = jax.vmap(one)(vs)
     return ServingMixture(
@@ -203,7 +209,7 @@ def compile_mixture(gp: GP, vs: Array, x, y, mask=None) -> ServingMixture:
 
 
 def serve_predict_mixture(
-    gp: GP, sm: ServingMixture, z, precision: str | None = None
+    gp: GP, sm: ServingMixture, z, precision: str | None = linalg.ACCURATE_PRECISION
 ) -> tuple[Array, Array]:
     """Moment-matched posterior predictive from the compiled mixture:
     mu = E_s[mu_s],  var = E_s[sigma_s^2 + mu_s^2] - mu^2  (the same

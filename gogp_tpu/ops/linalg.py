@@ -17,6 +17,19 @@ from jax.scipy.linalg import solve_triangular
 
 Array = jax.Array
 
+# Default matmul precision for near-cancellation consumers (gp.serve's
+# predictive variance = prior - explained, gp.laplace/ep's Newton/site
+# updates).  Measured on v5e (STATUS round 3/4): one-pass bf16 ("default")
+# puts ~7e-2 absolute error on served sigma and a 4.3e-1 stationarity
+# residual on the Laplace mode, while "tensorfloat32" gives 8.3e-4 sigma /
+# 3.5e-3 residual at no measured cost where a Cholesky dominates and ~3x
+# matmul cost (still ~2x faster than XLA) on the pure-serve path.  Those
+# surfaces therefore DEFAULT to this value; throughput-critical callers
+# that only consume mu may pass precision="default" explicitly.  The exact
+# LML/gradient training path keeps the fast default — its accuracy ladder
+# is measured and documented in ops/cholesky_pallas.py.
+ACCURATE_PRECISION = "tensorfloat32"
+
 # Trace-time dispatch switch: inside force_xla() every op takes the plain
 # XLA-primitive path (the correctness oracle / perf baseline for bench.py).
 _FORCE_XLA = False

@@ -22,6 +22,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gogp_tpu.gp.core import GP
+from gogp_tpu.ops import linalg
 from gogp_tpu.gp.serve import (
     ServingMixture,
     ServingPosterior,
@@ -55,7 +56,7 @@ def shard_mixture(sm: ServingMixture, mesh: Mesh) -> ServingMixture:
 
 
 def serve_predict_mixture_sharded(
-    gp: GP, sm: ServingMixture, z, mesh: Mesh, precision: str | None = None
+    gp: GP, sm: ServingMixture, z, mesh: Mesh, precision: str | None = linalg.ACCURATE_PRECISION
 ):
     """Mixture predict with draws sharded: per-draw matmuls run shard-
     local, the two moment means become one psum each (GSPMD-inserted)."""
@@ -67,7 +68,7 @@ def serve_predict_mixture_sharded(
 
 
 def serve_predict_sharded(
-    gp: GP, sp: ServingPosterior, z, mesh: Mesh, precision: str | None = None
+    gp: GP, sp: ServingPosterior, z, mesh: Mesh, precision: str | None = linalg.ACCURATE_PRECISION
 ):
     """Batch predict with the request rows sharded over the chain axis and
     the cache replicated — zero collectives, linear scaling in devices."""

@@ -155,3 +155,59 @@ class TestJointServing:
         draws = serve.serve_sample(gp0, sp, x[:4], jax.random.PRNGKey(2), 64)
         spread = float(jnp.max(jnp.abs(draws - y[None, :4])))
         assert spread < 1e-3, spread
+
+
+class TestPrecisionDefaults:
+    """The serving default precision is a tested contract (VERDICT r3 #2).
+
+    Measured on v5e (STATUS round 3/4): one-pass bf16 puts 6.9e-2 max abs
+    error on served sigma at n=4096 — a visible artifact on O(1) bands —
+    while tensorfloat32 gives 8.3e-4 at 2.45 ms (still ~2x faster than
+    XLA).  Every sigma-producing serve entry point therefore defaults to
+    linalg.ACCURATE_PRECISION; this pins that contract so a silent
+    default-regression to the fast-wrong choice fails loudly.  The on-chip
+    error bounds themselves are re-measured by benchmarks/serve_tpu.py.
+    """
+
+    def test_default_is_accurate_precision(self):
+        import inspect
+
+        from gogp_tpu.ops import linalg
+
+        assert linalg.ACCURATE_PRECISION == "tensorfloat32"
+        for fn in (
+            serve.compile_posterior,
+            serve.fit_serving,
+            serve.serve_predict,
+            serve.serve_predict_cov,
+            serve.serve_sample,
+            serve.compile_mixture,
+            serve.serve_predict_mixture,
+        ):
+            default = inspect.signature(fn).parameters["precision"].default
+            assert default == linalg.ACCURATE_PRECISION, fn.__name__
+
+    def test_sharded_serving_inherits_default(self):
+        import inspect
+
+        from gogp_tpu.ops import linalg
+        from gogp_tpu.parallel import serving as pserving
+
+        for name in ("serve_predict_sharded", "serve_predict_mixture_sharded"):
+            fn = getattr(pserving, name, None)
+            if fn is None:
+                continue
+            default = inspect.signature(fn).parameters["precision"].default
+            assert default == linalg.ACCURATE_PRECISION, name
+
+    def test_default_sigma_matches_oracle(self):
+        # Under the shipped default the served sigma must agree with the
+        # exact-path oracle (on CPU the precision hint is exact; on TPU the
+        # tf32 bound is 8.3e-4 — asserted on-chip by benchmarks/serve_tpu.py).
+        gp, x, y = _problem(n=64, seed=5)
+        post = core.absorb(gp, jnp.array([1.0, 0.7]), jnp.array([0.3]), x, y)
+        sp = serve.compile_posterior(gp, post)
+        z = jnp.linspace(-1.0, 11.0, 65)[:, None]
+        _, s_served = serve.serve_predict(gp, sp, z)
+        _, s_exact = core.predict_from_posterior(gp, post, z)
+        assert float(jnp.max(jnp.abs(s_served - s_exact))) < 1e-7

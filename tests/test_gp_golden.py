@@ -159,3 +159,208 @@ def test_gradient_wrt_outputs_is_minus_alpha():
     post = gp_posterior(gp, v)
     grad = jax.grad(lambda vv: gp_observe(gp, vv))(v)
     np.testing.assert_allclose(np.asarray(grad[-2:]), -np.asarray(post.alpha), atol=1e-10)
+
+
+# -- TestIndependentGoldens --------------------------------------------------
+#
+# The golden tables above were transcribed from gp/gp_test.go by the same
+# builder they validate.  This class closes that loop: the expected values
+# are DERIVED IN-TEST by an independent exact-arithmetic GP written in pure
+# mpmath at 50 decimal digits — no transcription, no shared code with
+# gogp_tpu (only the *formulas* of GPML eq. 2.30/5.8 and the reference
+# kernel definitions, kernel/kernel.go:23-92, gp/gp.go:244-360).
+
+
+class _MPGP:
+    """Pure-mpmath GP: covariance, Cholesky, LML, predict.
+
+    Deliberately shares nothing with gogp_tpu — plain Python loops over
+    mp.mpf scalars, its own forward/backward substitution.
+    """
+
+    def __init__(self, pair, noise_var, dps=50):
+        import mpmath as mp
+
+        self.mp = mp
+        self.pair = pair  # (theta, xa, xb) -> mpf, theta natural scale
+        self.noise_var = noise_var  # (theta_noise, x_i) -> mpf variance
+        mp.mp.dps = dps
+
+    def _cov(self, theta_s, theta_n, x):
+        mp = self.mp
+        n = len(x)
+        K = [[self.pair(theta_s, x[i], x[j]) for j in range(n)] for i in range(n)]
+        for i in range(n):
+            K[i][i] += self.noise_var(theta_n, x[i])
+        return K
+
+    @staticmethod
+    def _chol(K):
+        import mpmath as mp
+
+        n = len(K)
+        L = [[mp.mpf(0) for _ in range(n)] for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1):
+                s = sum(L[i][k] * L[j][k] for k in range(j))
+                if i == j:
+                    L[i][j] = mp.sqrt(K[i][i] - s)
+                else:
+                    L[i][j] = (K[i][j] - s) / L[j][j]
+        return L
+
+    @staticmethod
+    def _fwd(L, b):
+        n = len(b)
+        v = [None] * n
+        for i in range(n):
+            v[i] = (b[i] - sum(L[i][k] * v[k] for k in range(i))) / L[i][i]
+        return v
+
+    @staticmethod
+    def _bwd(L, b):
+        n = len(b)
+        v = [None] * n
+        for i in reversed(range(n)):
+            v[i] = (b[i] - sum(L[k][i] * v[k] for k in range(i + 1, n))) / L[i][i]
+        return v
+
+    def lml(self, theta_s, theta_n, x, y):
+        mp = self.mp
+        n = len(x)
+        L = self._chol(self._cov(theta_s, theta_n, x))
+        alpha = self._bwd(L, self._fwd(L, y))
+        logdet = 2 * sum(mp.log(L[i][i]) for i in range(n))
+        quad = sum(y[i] * alpha[i] for i in range(n))
+        return -(n * mp.log(2 * mp.pi) + logdet + quad) / 2
+
+    def predict(self, theta_s, theta_n, x, y, z):
+        mp = self.mp
+        L = self._chol(self._cov(theta_s, theta_n, x))
+        alpha = self._bwd(L, self._fwd(L, y))
+        mus, sigmas = [], []
+        for zz in z:
+            ks = [self.pair(theta_s, xi, zz) for xi in x]
+            mus.append(sum(k * a for k, a in zip(ks, alpha)))
+            v = self._fwd(L, ks)
+            var = self.pair(theta_s, zz, zz) - sum(vi * vi for vi in v)
+            sigmas.append(mp.sqrt(var) if var > 0 else mp.mpf(0))
+        return mus, sigmas
+
+
+def _mp_pair_normal(theta, xa, xb):
+    # exp(-((xa-xb)/l)^2 / 2), kernel/kernel.go:23-26
+    import mpmath as mp
+
+    d = (xa - xb) / theta[0]
+    return mp.exp(-(d * d) / 2)
+
+
+def _mp_pair_composite(theta, xa, xb):
+    """scale * matern52_ref + periodic — the hyperpriors-style trend +
+    seasonality composition (tutorial/hyperpriors/kernel/kernel.go:22-24)
+    with the documented Go 5/3->1 coefficient quirk (kernel/kernel.go:91,
+    SURVEY §2.1-7).  theta = [s, l_m, l_p, p], natural scale."""
+    import mpmath as mp
+
+    s, l_m, l_p, p = theta
+    d = abs(xa - xb)
+    dm = d / l_m
+    m52 = s * (1 + mp.sqrt(5) * dm + dm * dm) * mp.exp(-mp.sqrt(5) * dm)
+    sp = mp.sin(mp.pi * d / p) / l_p
+    per = mp.exp(-2 * sp * sp)
+    return m52 + per
+
+
+class TestIndependentGoldens:
+    def test_elemental_withnoise_rederived(self):
+        """Independently re-derive the ported 'withnoise' golden
+        (gp/gp_test.go:191-229, table value -4.321055): if the transcription
+        or the Go-side constant were wrong, this disagrees."""
+        import mpmath as mp
+
+        mpgp = _MPGP(_mp_pair_normal, lambda tn, xi: mp.mpf("0.01"))
+        # Observe vector [1.0, -2.0, -1.0, 1.0, 0.0]: log-theta 1 -> l=e,
+        # x=[-2,-1], y=[1,0]
+        want = mpgp.lml(
+            [mp.e], [], [mp.mpf(-2), mp.mpf(-1)], [mp.mpf(1), mp.mpf(0)]
+        )
+        assert abs(float(want) - (-4.321055)) < 1e-6  # the ported table value
+
+        gp = GP(ndim=1, simil=normal, noise=constant_noise(0.1))
+        got = float(gp_observe(gp, jnp.asarray([1.0, -2.0, -1.0, 1.0, 0.0])))
+        assert abs(got - float(want)) < 1e-9
+
+    def test_composite_lml_exact_arithmetic(self):
+        """Composite-kernel LML (scaled matern52_ref + periodic, uniform
+        noise) vs the 50-digit mpmath derivation — 1e-9, not the table's
+        1e-6."""
+        import mpmath as mp
+
+        from gogp_tpu.gp.core import lml
+        from gogp_tpu.kernels import matern52_ref, periodic, uniform_noise
+
+        mpgp = _MPGP(_mp_pair_composite, lambda tn, xi: tn[0] * tn[0])
+        xs = [mp.mpf(q) for q in ("0", "0.5", "1", "1.75", "2.5", "3")]
+        ys = [mp.mpf(q) for q in ("0.3", "-0.2", "0.75", "1.0", "-0.5", "0.1")]
+        th_s = [mp.mpf(q) for q in ("1.3", "0.9", "1.1", "2.0")]
+        th_n = [mp.mpf("0.25")]
+        want = float(mpgp.lml(th_s, th_n, xs, ys))
+
+        gp = GP(ndim=1, simil=matern52_ref.scaled() + periodic, noise=uniform_noise)
+        got = float(
+            lml(
+                gp,
+                jnp.asarray([1.3, 0.9, 1.1, 2.0], dtype=jnp.float64),
+                jnp.asarray([0.25], dtype=jnp.float64),
+                jnp.asarray([float(q) for q in xs], dtype=jnp.float64)[:, None],
+                jnp.asarray([float(q) for q in ys], dtype=jnp.float64),
+            )
+        )
+        assert abs(got - want) < 1e-9, (got, want)
+
+        # the hyper-only Observe convention must hit the same value through
+        # the exp boundary
+        v = jnp.log(jnp.asarray([1.3, 0.9, 1.1, 2.0, 0.25], dtype=jnp.float64))
+        got_obs = float(
+            gp_observe(
+                gp,
+                v,
+                x=jnp.asarray([float(q) for q in xs], dtype=jnp.float64)[:, None],
+                y=jnp.asarray([float(q) for q in ys], dtype=jnp.float64),
+            )
+        )
+        assert abs(got_obs - want) < 1e-9, (got_obs, want)
+
+    def test_composite_predict_exact_arithmetic(self):
+        """Produce semantics (noise-free latent bands, gp/gp.go:258-360)
+        vs the independent derivation at three off-grid test points."""
+        import mpmath as mp
+
+        from gogp_tpu.kernels import matern52_ref, periodic, uniform_noise
+
+        mpgp = _MPGP(_mp_pair_composite, lambda tn, xi: tn[0] * tn[0])
+        xs = [mp.mpf(q) for q in ("0", "0.5", "1", "1.75", "2.5", "3")]
+        ys = [mp.mpf(q) for q in ("0.3", "-0.2", "0.75", "1.0", "-0.5", "0.1")]
+        th_s = [mp.mpf(q) for q in ("1.3", "0.9", "1.1", "2.0")]
+        th_n = [mp.mpf("0.25")]
+        zs = [mp.mpf(q) for q in ("0.25", "1.6", "3.5")]
+        want_mu, want_sigma = mpgp.predict(th_s, th_n, xs, ys, zs)
+
+        gp = GP(ndim=1, simil=matern52_ref.scaled() + periodic, noise=uniform_noise)
+        post = absorb(
+            gp,
+            jnp.asarray([1.3, 0.9, 1.1, 2.0], dtype=jnp.float64),
+            jnp.asarray([0.25], dtype=jnp.float64),
+            jnp.asarray([float(q) for q in xs], dtype=jnp.float64)[:, None],
+            jnp.asarray([float(q) for q in ys], dtype=jnp.float64),
+        )
+        mu, sigma = predict_from_posterior(
+            gp, post, jnp.asarray([float(q) for q in zs], dtype=jnp.float64)[:, None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(mu), [float(m) for m in want_mu], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(sigma), [float(s) for s in want_sigma], atol=1e-9
+        )

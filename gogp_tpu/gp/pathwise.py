@@ -24,6 +24,13 @@ Spectral measures are derived from the kernel's structural ``spec`` tag
     ("rbf",)           omega ~ N(0, I/l^2)
     ("matern", m)      omega ~ multivariate-t, dof m = 2*nu, scale 1/l
                        (matern12/32/52; sampled as normal / chi_m)
+    ("matern52_ref",)  the reference's Go 5/3->1 quirk kernel
+                       (1 + sqrt5 d + d^2) e^{-sqrt5 d}
+                       = 0.4 matern32(l sqrt(3/5)) + 0.6 matern52(l)
+                       exactly (kernels/stationary.py identity), so omega
+                       is the matching two-component Student-t mixture —
+                       both components share omega = z sqrt(5/chi2_nu)/l
+                       with nu in {3, 5} w.p. {0.4, 0.6}
     ("periodic",)      discrete harmonics 2*pi*k/p weighted by the Bessel
                        series exp(-z) I_k(z), z = 1/l^2 (1-D only)
     ("rq",)            Gamma(alpha, rate alpha*l^2) scale mixture of RBFs
@@ -34,9 +41,10 @@ Spectral measures are derived from the kernel's structural ``spec`` tag
     ("sum", a, b)      features concatenate (half the budget each side)
     ("prod", a, b)     frequencies add (spectral convolution)
 
-Kernels without a spec (hand-written pair functions, matern52_ref, deep/
-multioutput wrappers) raise — use :func:`gogp_tpu.gp.serve.serve_sample`
-for those.
+Kernels without a spec (hand-written pair functions, deep/multioutput
+wrappers) raise — use :func:`gogp_tpu.gp.serve.serve_sample` for those.
+All four reference-parity Matern-5/2 tutorials (hyperpriors, warpedtime,
+anynoise, events — kernel/kernel.go:89-92) ride the matern52_ref branch.
 
 The feature frequencies are shared across the S paths of one state
 (standard practice: conditional on omega the paths are exactly iid; the
@@ -111,6 +119,22 @@ def _sample(kernel: Kernel, theta, key, f: int, ndim: int):
         z = jax.random.normal(kz, (f, ndim), dtype=dtype)
         g = 2.0 * jax.random.gamma(kg, 0.5 * dof, (f,), dtype=dtype)  # chi^2_dof
         omega = z * jnp.sqrt(dof / g)[:, None] / theta[0]
+        return omega, jnp.full((f,), 1.0 / f, dtype=dtype)
+
+    if tag == "matern52_ref":
+        # Exact decomposition (kernels/stationary.py): 0.4 matern32 at
+        # lengthscale l*sqrt(3/5) + 0.6 matern52 at l.  The matern32 term's
+        # t_3 scale sqrt(5/3)/l and the matern52 term's t_5 scale 1/l both
+        # reduce to omega = z * sqrt(5 / chi2_nu) / l — only nu differs.
+        kc, kz, kg = jax.random.split(key, 3)
+        nu = jnp.where(
+            jax.random.bernoulli(kc, 0.6, (f,)),
+            jnp.asarray(5.0, dtype),
+            jnp.asarray(3.0, dtype),
+        )
+        z = jax.random.normal(kz, (f, ndim), dtype=dtype)
+        g = 2.0 * jax.random.gamma(kg, 0.5 * nu, (f,), dtype=dtype)  # chi2_nu
+        omega = z * jnp.sqrt(5.0 / g)[:, None] / theta[0]
         return omega, jnp.full((f,), 1.0 / f, dtype=dtype)
 
     if tag == "periodic":

@@ -126,7 +126,12 @@ def _matern52_ref_pair(theta, xa, xb):
     return (1 + SQRT5 * d + d * d) * jnp.exp(-SQRT5 * d)
 
 
-matern52_ref = Kernel(1, _matern52_ref_pair, "matern52_ref")
+# Structural identity (any input dimension): with a = sqrt5, d = r/l,
+#   (1 + a d + d^2) e^{-a d} = 0.4 (1 + a d) e^{-a d} + 0.6 (1 + a d + (5/3) d^2) e^{-a d}
+# i.e. matern52_ref(l) = 0.4 * matern32(l * sqrt(3/5)) + 0.6 * matern52(l) —
+# a convex sum of PSD kernels, so the quirk kernel is PSD and its spectral
+# measure is the matching two-component Student-t mixture (gp/pathwise.py).
+matern52_ref = Kernel(1, _matern52_ref_pair, "matern52_ref", ("matern52_ref",))
 
 
 def _matern12_pair(theta, xa, xb):

@@ -45,6 +45,8 @@ CASES = [
     ("matern12", matern12, [0.8], 1),
     ("matern32", matern32, [0.8], 1),
     ("matern52", matern52, [1.1], 1),
+    ("matern52_ref", matern52_ref, [1.1], 1),
+    ("matern52_ref_2d", matern52_ref, [0.9], 2),
     ("periodic", periodic, [1.1, 2.3], 1),
     ("rq", rational_quadratic, [1.0, 1.5], 1),
     ("scaled_rbf", normal.scaled(), [1.7, 0.9], 1),
@@ -158,12 +160,39 @@ def test_padding_invariance():
 
 
 def test_unsupported_kernel_raises():
-    gp, post, _, _ = _toy_posterior()
-    with pytest.raises(ValueError, match="spectral structure"):
-        pathwise.sample_features(matern52_ref, jnp.asarray([1.0]), KEY, 64, 1)
     warped = normal.warp_inputs(lambda x: x * 2.0)
     with pytest.raises(ValueError, match="spectral structure"):
         pathwise.sample_features(warped, jnp.asarray([1.0]), KEY, 64, 1)
+
+
+def test_matern52_ref_decomposition_identity():
+    """The spectral-measure derivation rests on the exact pointwise identity
+    matern52_ref(l) = 0.4 matern32(l sqrt(3/5)) + 0.6 matern52(l)
+    (kernels/stationary.py) — pin it directly at f64."""
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.uniform(-3.0, 3.0, size=(9, 1)))
+    l = 1.3
+    k_ref = matern52_ref.matrix(jnp.asarray([l], jnp.float64), pts, pts)
+    k_mix = 0.4 * matern32.matrix(
+        jnp.asarray([l * np.sqrt(3.0 / 5.0)], jnp.float64), pts, pts
+    ) + 0.6 * matern52.matrix(jnp.asarray([l], jnp.float64), pts, pts)
+    np.testing.assert_allclose(np.asarray(k_ref), np.asarray(k_mix), atol=1e-14)
+
+
+def test_matern52_ref_tutorial_composite_thompson_path():
+    """The four reference-parity tutorials' composite kernels can now ride
+    the pathwise Thompson engine: scaled matern52_ref + periodic posterior
+    paths have the exact Matheron mean."""
+    gp = GP(ndim=1, simil=matern52_ref.scaled() + periodic, noise=uniform_noise)
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(-3.0, 3.0, size=(20, 1)), axis=0)
+    y = np.sin(1.1 * x[:, 0]) + 0.1 * rng.normal(size=20)
+    post = absorb(gp, jnp.asarray([1.0, 0.9, 1.2, 2.0]), jnp.asarray([0.15]), x, y)
+    z = jnp.asarray(np.linspace(-3.5, 3.5, 9)[:, None])
+    ps = pathwise.sample_paths(gp, post, jax.random.PRNGKey(4), 8192, num_features=512)
+    fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+    mu, _ = predict_from_posterior(gp, post, z)
+    assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu))) < 0.06
 
 
 class TestSparsePathwise:

@@ -63,9 +63,43 @@ def build_problem(n: int):
     return logp, gp.n_theta
 
 
+def build_problem_ski(n: int, grid: int, num_probes: int, cg_iters: int,
+                      lanczos_iters: int):
+    """The same noisy-sine problem through the SKI O(n + N log N) LML
+    (gp.ski.lml_ski) — the n=65536 regime where the dense K (16 GB) cannot
+    exist on one chip.  Probes are FIXED (one key for the whole run): the
+    sampler targets a smooth deterministic surrogate whose bias is the
+    estimator error (parallel.large_n.run_chees_large_n method='ski'
+    contract)."""
+    from gogp_tpu import dists
+    from gogp_tpu.gp.core import GP
+    from gogp_tpu.gp.ski import lml_ski
+    from gogp_tpu.kernels import rbf, uniform_noise
+
+    gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 100, (n, 1)), axis=0), jnp.float32)
+    y = jnp.asarray(
+        np.sin(np.asarray(x[:, 0]) / 3.0) + 0.1 * rng.normal(size=n), jnp.float32
+    )
+    key_probes = jax.random.PRNGKey(777)
+
+    def logp(v):
+        theta = jnp.exp(v)
+        core = lml_ski(
+            gp, theta[: gp.n_theta_simil], theta[gp.n_theta_simil :], x, y,
+            key_probes, grid, num_probes, cg_iters, lanczos_iters,
+        )
+        return core + jnp.sum(dists.normal_logp(0.0, 1.0, v))
+
+    return logp, gp.n_theta
+
+
 def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         num_samples: int = 256, seed: int = 0, max_steps: int = 64,
-        force_xla: bool = False, precision: str = "tensorfloat32"):
+        force_xla: bool = False, precision: str = "tensorfloat32",
+        ski: bool = False, grid: int = 4096, num_probes: int = 16,
+        cg_iters: int = 100, lanczos_iters: int = 32, chunk: int = CHUNK):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.chees import (
         chees_init,
@@ -93,7 +127,10 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
             ctx.enter_context(jax.default_matmul_precision(precision))
         return ctx
 
-    logp, dim = build_problem(n)
+    if ski:
+        logp, dim = build_problem_ski(n, grid, num_probes, cg_iters, lanczos_iters)
+    else:
+        logp, dim = build_problem(n)
     # MLE warm start — the production workflow (and at n >= 1024 the
     # posterior over 3 hyperparameters is so sharp that a cold 0.1-scale
     # init sits in a |grad| ~ 1e4 wall: dual averaging then collapses the
@@ -107,10 +144,17 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
     # does not cover below n=8192 (ops/linalg.py) — and unlike the sampler,
     # whose Metropolis step rejects non-finite proposals, an optimizer NaN
     # is permanent.  MLE time is not part of the measured sampling walltime.
-    with linalg.force_xla():
+    # The SKI surrogate has no dense oracle at its n — its own (CG-robust)
+    # gradient does the warm start.
+    if ski:
         opt = jax.jit(
-            lambda v: mle.adam(jax.value_and_grad(logp), v, iters=300, rate=0.05)
+            lambda v: mle.adam(jax.value_and_grad(logp), v, iters=200, rate=0.05)
         )(jnp.zeros(dim, jnp.float32))
+    else:
+        with linalg.force_xla():
+            opt = jax.jit(
+                lambda v: mle.adam(jax.value_and_grad(logp), v, iters=300, rate=0.05)
+            )(jnp.zeros(dim, jnp.float32))
     mle_x = opt.x
     np.asarray(mle_x)  # sync
     x0 = mle_x[None, :] + 0.05 * jax.random.normal(
@@ -130,15 +174,15 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
 
     t0 = time.perf_counter()
     warm_c = warm_chunk.lower(
-        state, sched.update_mass[:CHUNK], sched.window_end[:CHUNK]
+        state, sched.update_mass[:chunk], sched.window_end[:chunk]
     ).compile()
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for i in range(0, num_warmup, CHUNK):
-        um = sched.update_mass[i : i + CHUNK]
-        we = sched.window_end[i : i + CHUNK]
-        state = warm_c(state, um, we) if um.shape[0] == CHUNK else warm_chunk(state, um, we)
+    for i in range(0, num_warmup, chunk):
+        um = sched.update_mass[i : i + chunk]
+        we = sched.window_end[i : i + chunk]
+        state = warm_c(state, um, we) if um.shape[0] == chunk else warm_chunk(state, um, we)
         np.asarray(state.logps)  # sync per chunk: long dispatches trip the tunnel
     warm_time = time.perf_counter() - t0
     state = jax.jit(finalize_chees_warmup)(state)
@@ -146,7 +190,7 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
     @jax.jit
     def sample_chunk(state):
         with dispatch():
-            state, (pos, lps, acc) = chees_sample_chunk(logp, state, CHUNK, max_steps)
+            state, (pos, lps, acc) = chees_sample_chunk(logp, state, chunk, max_steps)
         return state, jnp.swapaxes(pos, 0, 1), lps, acc
 
     state_c, pos_c, _, _ = sample_chunk(state)
@@ -154,7 +198,7 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
 
     chunks, accs, lp_chunks = [], [], []
     t0 = time.perf_counter()
-    for _ in range(0, num_samples, CHUNK):
+    for _ in range(0, num_samples, chunk):
         state, pos, lps, acc = sample_chunk(state)
         chunks.append(np.asarray(pos))  # device sync per chunk
         accs.append(np.asarray(acc))
@@ -164,8 +208,14 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
     pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
     min_ess = float(ess_per_param.min())
+    out_extra = (
+        {"grid": grid, "num_probes": num_probes, "cg_iters": cg_iters,
+         "lanczos_iters": lanczos_iters}
+        if ski else {}
+    )
     return {
-        "metric": f"large_n_bayes_chees_n{n}",
+        "metric": f"large_n_bayes_chees{'_ski' if ski else ''}_n{n}",
+        **out_extra,
         "value": round(min_ess / walltime, 2),
         "unit": "ESS/s",
         "n": n,
@@ -187,7 +237,7 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         # a stuck/NaN'd leg reports walltime but no valid chain
         "finite_frac": round(float(np.mean(np.isfinite(lp_chunks[-1]))), 3),
         "precision": precision,
-        "dispatch": "xla" if force_xla else "pallas",
+        "dispatch": "ski" if ski else ("xla" if force_xla else "pallas"),
         "sampler": "chees-hmc",
         "platform": jax.devices()[0].platform,
     }
@@ -209,9 +259,23 @@ def main():
                     choices=["default", "tensorfloat32", "float32"],
                     help="matmul precision for the sampling phase (see the "
                     "in-code note: default 1-pass bf16 NaNs this posterior)")
+    ap.add_argument("--ski", action="store_true",
+                    help="sample the SKI O(n + N log N) surrogate LML "
+                    "(fixed probes) — the n=65536 regime")
+    ap.add_argument("--grid", type=int, default=4096,
+                    help="with --ski: inducing grid size")
+    ap.add_argument("--probes", type=int, default=16)
+    ap.add_argument("--cg-iters", type=int, default=100)
+    ap.add_argument("--lanczos", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=CHUNK,
+                    help="transitions per dispatch (lower for slow-per-step "
+                    "ski runs: tunnel limits)")
     args = ap.parse_args()
     out = run(args.n, args.chains, args.warmup, args.samples, args.seed,
-              args.max_steps, args.force_xla, args.precision)
+              args.max_steps, args.force_xla, args.precision,
+              ski=args.ski, grid=args.grid, num_probes=args.probes,
+              cg_iters=args.cg_iters, lanczos_iters=args.lanczos,
+              chunk=args.chunk)
     # leapfrog steps/draw ~= traj_length / step_size on average halved by
     # the halton jitter; report realized gradient-evaluation throughput
     steps_per_draw = 0.5 * out["traj_length"] / max(out["step_size"], 1e-12)

@@ -160,6 +160,7 @@ def run_chees_large_n(
     cg_iters: int = 100,
     lanczos_iters: int = 32,
     precond_rank: int = 0,
+    grid_size: int | tuple = 2048,
 ):
     """Full-posterior ChEES-HMC over log-thetas with the covariance
     row-sharded over the data axis — Bayesian GP inference at n beyond one
@@ -182,6 +183,14 @@ def run_chees_large_n(
     instead of the exact LML — probes are fixed for the whole run, so the
     target is a smooth deterministic approximation whose bias is the
     estimator error (see run_smc_large_n's note).
+
+    ``method="ski"`` samples the SKI O(n 4^d + N log N) surrogate
+    (gp.ski.lml_ski, ``grid_size`` per axis) — the n=10^5-per-chain
+    regime.  The composition flips: per-chain work is cheap enough on ONE
+    chip that data sharding buys nothing, so chains shard over EVERY mesh
+    axis with (x, y) replicated — zero collectives besides the adaptation
+    pmeans.  Probes are fixed for the whole run (smooth surrogate, as
+    above); no padding mask (raise if given).
     """
     from gogp_tpu.infer import adapt
     from gogp_tpu.infer.chees import (
@@ -200,10 +209,14 @@ def run_chees_large_n(
     y = jnp.asarray(y)
     n = x.shape[0]
     n_data = mesh.shape[DATA_AXIS]
-    if n % n_data != 0:
-        raise ValueError(f"n={n} must divide over {n_data} data-axis devices")
-    if mask is None:
-        mask = jnp.ones(n, dtype=x.dtype)
+    if method == "ski":
+        if mask is not None:
+            raise ValueError("method='ski' does not support a padding mask")
+    else:
+        if n % n_data != 0:
+            raise ValueError(f"n={n} must divide over {n_data} data-axis devices")
+        if mask is None:
+            mask = jnp.ones(n, dtype=x.dtype)
     if position0 is None:
         position0 = jnp.zeros(gp.n_theta, dtype=x.dtype)
     position0 = jnp.asarray(position0)
@@ -211,9 +224,12 @@ def run_chees_large_n(
     dtype = position0.dtype
     rng = jnp.asarray(rng)
 
-    chain_axes = tuple(
-        a for a in mesh.axis_names if a != DATA_AXIS and mesh.shape[a] > 1
-    )
+    if method == "ski":
+        chain_axes = tuple(a for a in mesh.axis_names if mesh.shape[a] > 1)
+    else:
+        chain_axes = tuple(
+            a for a in mesh.axis_names if a != DATA_AXIS and mesh.shape[a] > 1
+        )
     n_chain_dev = 1
     for a in chain_axes:
         n_chain_dev *= mesh.shape[a]
@@ -226,8 +242,42 @@ def run_chees_large_n(
     axis_name = chain_axes if chain_axes else None
 
     key_init, key_loop = jax.random.split(rng)
-    key_probes = jax.random.fold_in(rng, 2) if method == "iterative" else None
+    key_probes = (
+        jax.random.fold_in(rng, 2) if method in ("iterative", "ski") else None
+    )
     sched = adapt.build_schedule(num_warmup)
+
+    def device_fn_ski(x_rep, y_rep):
+        from gogp_tpu.gp.ski import lml_ski
+
+        def logp(v):
+            theta = jnp.exp(v)
+            return lml_ski(
+                gp, theta[: gp.n_theta_simil], theta[gp.n_theta_simil :],
+                x_rep, y_rep, key_probes, grid_size, num_probes, cg_iters,
+                lanczos_iters,
+            )
+
+        eps = jax.random.normal(key_init, (num_chains, dim), dtype)
+        pos0 = position0[None, :] + sigma0 * eps
+        if chain_axes:
+            rank = _fold_rank(chain_axes)
+            slab = jax.lax.dynamic_slice_in_dim(pos0, rank * local, local, 0)
+            offset = rank * local
+        else:
+            slab = pos0
+            offset = 0
+        state = chees_init(logp, slab, key_loop, init_step_size, init_traj_length)
+        if num_warmup > 0:
+            state = chees_warm_chunk(
+                logp, state, sched.update_mass, sched.window_end,
+                max_num_steps, target_accept, traj_lr, None, axis_name, offset,
+            )
+            state = finalize_chees_warmup(state)
+        state, (pos, lps, acc) = chees_sample_chunk(
+            logp, state, num_samples, max_num_steps, None, axis_name, offset
+        )
+        return pos, lps, acc, state
 
     def device_fn(x_local, y_local, m_local):
         logp = psum_grads(
@@ -284,6 +334,18 @@ def run_chees_large_n(
         step=rep,
         rng=rep,
     )
+    if method == "ski":
+        fn = jax.jit(
+            jax.shard_map(
+                device_fn_ski,
+                mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=(draws, draws, draws, state_spec),
+                check_vma=False,
+            )
+        )
+        pos, lps, acc, state = fn(x, y)
+        return Samples(pos, lps, acc, state)
     fn = jax.jit(
         jax.shard_map(
             device_fn,

@@ -260,6 +260,42 @@ class TestLargeNSMC:
         )
         assert np.allclose(pi.std(axis=0), pe.std(axis=0), atol=0.3)
 
+    def test_chees_large_n_ski_surrogate(self, problem):
+        """method='ski' (fixed-probe SKI O(N log N) surrogate; chains
+        sharded over EVERY mesh axis, x/y replicated) must sample the same
+        posterior as the exact row-sharded path within MC + estimator +
+        interpolation error."""
+        gp, x, y = problem
+        mesh = parallel.make_mesh(n_chain=2, n_data=4)
+        kwargs = dict(
+            num_chains=8, num_warmup=150, num_samples=200,
+            sigma0=0.5, init_step_size=0.05, init_traj_length=0.5,
+        )
+        rs = parallel.run_chees_large_n(
+            gp, x, y, jax.random.PRNGKey(0), mesh, method="ski",
+            grid_size=256, num_probes=32, cg_iters=200, lanczos_iters=48,
+            **kwargs,
+        )
+        re = parallel.run_chees_large_n(
+            gp, x, y, jax.random.PRNGKey(0), mesh, block=8, **kwargs,
+        )
+        ps = np.asarray(rs.positions).reshape(-1, 3)
+        pe = np.asarray(re.positions).reshape(-1, 3)
+        assert np.all(np.isfinite(ps))
+        assert np.allclose(ps.mean(axis=0), pe.mean(axis=0), atol=0.3), (
+            ps.mean(axis=0), pe.mean(axis=0),
+        )
+        assert np.allclose(ps.std(axis=0), pe.std(axis=0), atol=0.3)
+
+    def test_chees_large_n_ski_rejects_mask(self, problem):
+        gp, x, y = problem
+        mesh = parallel.make_mesh(n_chain=2, n_data=4)
+        with pytest.raises(ValueError, match="padding mask"):
+            parallel.run_chees_large_n(
+                gp, x, y, jax.random.PRNGKey(0), mesh, method="ski",
+                mask=jnp.ones(x.shape[0]),
+            )
+
     def test_chees_large_n_mesh_invariance(self, problem):
         """1x8 / 2x4 / 4x2 meshes agree on the sampled posterior moments
         (global-chain-index randomness; data-axis psums reassociate)."""

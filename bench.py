@@ -189,6 +189,31 @@ def main():
         "agree": agree,
         "platform": platform,
     }
+
+    # ESS/s north star (BASELINE.json metric #1): hyperpriors ChEES-HMC at
+    # the recorded best config from the round-4 chains/pops/warmup sweep
+    # (STATUS.md).  The sweep showed the posterior is MIXING-limited, not
+    # throughput-limited (samples/s keeps scaling past 256 chains while
+    # min-ESS/chain collapses), so the 64-chain single-population config is
+    # the measured optimum.  Merged into the same single JSON line so the
+    # driver artifact tracks sampling throughput round over round.
+    try:
+        from benchmarks.ess_nuts import run_chees_bench
+
+        ESS_CONFIG = dict(chains=64, num_warmup=512, num_samples=512,
+                          seed=0, max_steps=256, n_pops=1)
+        ess = run_chees_bench(**ESS_CONFIG)
+        result["ess_per_sec"] = ess["value"]
+        result["ess_config"] = {
+            "sampler": "chees-hmc", "model": "hyperpriors",
+            "chains": ESS_CONFIG["chains"], "pops": ESS_CONFIG["n_pops"],
+            "warmup": ESS_CONFIG["num_warmup"],
+            "samples_per_chain": ESS_CONFIG["num_samples"],
+            "min_ess": ess["min_ess"], "walltime_s": ess["walltime_s"],
+        }
+    except Exception as e:  # noqa: BLE001 — the headline must still print
+        result["ess_per_sec"] = None
+        result["ess_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

@@ -99,7 +99,9 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         num_samples: int = 256, seed: int = 0, max_steps: int = 64,
         force_xla: bool = False, precision: str = "tensorfloat32",
         ski: bool = False, grid: int = 4096, num_probes: int = 16,
-        cg_iters: int = 100, lanczos_iters: int = 32, chunk: int = CHUNK):
+        cg_iters: int = 100, lanczos_iters: int = 32, chunk: int = CHUNK,
+        init_spread: float = 0.05, init_step: float = 0.01,
+        init_traj: float = 0.1):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.chees import (
         chees_init,
@@ -147,9 +149,16 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
     # The SKI surrogate has no dense oracle at its n — its own (CG-robust)
     # gradient does the warm start.
     if ski:
-        opt = jax.jit(
-            lambda v: mle.adam(jax.value_and_grad(logp), v, iters=200, rate=0.05)
-        )(jnp.zeros(dim, jnp.float32))
+        # chunked host loop: at n=65536 a 200-iteration single dispatch is
+        # multi-minute and crashes the tunnel worker (observed round 4)
+        step = jax.jit(
+            lambda v: mle.adam(jax.value_and_grad(logp), v, iters=20, rate=0.05)
+        )
+        v_cur = jnp.zeros(dim, jnp.float32)
+        for _ in range(10):
+            opt = step(v_cur)
+            v_cur = opt.x
+            np.asarray(v_cur)  # sync per chunk
     else:
         with linalg.force_xla():
             opt = jax.jit(
@@ -157,13 +166,18 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
             )(jnp.zeros(dim, jnp.float32))
     mle_x = opt.x
     np.asarray(mle_x)  # sync
-    x0 = mle_x[None, :] + 0.05 * jax.random.normal(
+    # init spread / step / trajectory must scale with the posterior width,
+    # which sharpens as ~1/sqrt(n): at n=65536 the default 0.05 spread is
+    # ~10x the posterior sigma and dual averaging collapses (measured:
+    # min-ESS 2.0, step_size < 1e-5 — the same wall as the cold-start
+    # note above, one scale further in).
+    x0 = mle_x[None, :] + init_spread * jax.random.normal(
         jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
     )
     sched = adapt.build_schedule(num_warmup)
     with dispatch():
         state = jax.jit(
-            lambda p, k: chees_init(logp, p, k, 0.01, 0.1)
+            lambda p, k: chees_init(logp, p, k, init_step, init_traj)
         )(x0, jax.random.PRNGKey(seed))
     jax.block_until_ready(state)
 
@@ -270,12 +284,17 @@ def main():
     ap.add_argument("--chunk", type=int, default=CHUNK,
                     help="transitions per dispatch (lower for slow-per-step "
                     "ski runs: tunnel limits)")
+    ap.add_argument("--init-spread", type=float, default=0.05,
+                    help="chain init sigma around the MLE (scale ~1/sqrt(n))")
+    ap.add_argument("--init-step", type=float, default=0.01)
+    ap.add_argument("--init-traj", type=float, default=0.1)
     args = ap.parse_args()
     out = run(args.n, args.chains, args.warmup, args.samples, args.seed,
               args.max_steps, args.force_xla, args.precision,
               ski=args.ski, grid=args.grid, num_probes=args.probes,
               cg_iters=args.cg_iters, lanczos_iters=args.lanczos,
-              chunk=args.chunk)
+              chunk=args.chunk, init_spread=args.init_spread,
+              init_step=args.init_step, init_traj=args.init_traj)
     # leapfrog steps/draw ~= traj_length / step_size on average halved by
     # the halton jitter; report realized gradient-evaluation throughput
     steps_per_draw = 0.5 * out["traj_length"] / max(out["step_size"], 1e-12)

@@ -11,6 +11,7 @@ from gogp_tpu.gp.core import (  # noqa: F401
     predict_iterative,
     predict_toeplitz,
     predict_from_posterior,
+    predict_y_from_posterior,
     predict_mixture,
     predict_prior,
 )

@@ -517,6 +517,27 @@ def predict_from_posterior(gp: GP, post: Posterior, z) -> tuple[Array, Array]:
     return mu, sigma
 
 
+def predict_y_from_posterior(gp: GP, post: Posterior, z) -> tuple[Array, Array]:
+    """Predictive mean/std of the OBSERVATION y* — noise-inclusive bands.
+
+    The reference's ``Produce`` deliberately excludes observation noise
+    (latent-function bands, gp/gp.go:270-278) and
+    :func:`predict_from_posterior` keeps that contract bit-for-bit.  This
+    is the forecast-interval variant a production consumer usually wants:
+
+        sigma_y(z)^2 = sigma_f(z)^2 + noise_var(z)
+
+    with the noise variance from the GP's own noise kernel evaluated at
+    the TEST inputs (heteroscedastic noise kernels supported — the same
+    diagonal ``absorb`` put into K at the training inputs)."""
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    mu, sigma = predict_from_posterior(gp, post, z)
+    nv = gp.noise.vector(post.theta_noise, z)
+    return mu, jnp.sqrt(sigma * sigma + nv)
+
+
 def predict(gp: GP, theta_simil, theta_noise, x, y, z, mask=None) -> tuple[Array, Array]:
     """Fit-and-predict convenience: absorb then predict."""
     post = absorb(gp, theta_simil, theta_noise, x, y, mask)

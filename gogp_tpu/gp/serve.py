@@ -117,6 +117,21 @@ def serve_predict(
     return mu, sigma
 
 
+def serve_predict_y(
+    gp: GP, sp: ServingPosterior, z, precision: str | None = linalg.ACCURATE_PRECISION
+) -> tuple[Array, Array]:
+    """Noise-inclusive predictive bands from the compiled cache:
+    sigma_y^2 = sigma_f^2 + noise_var(z) (gp.core.predict_y_from_posterior
+    semantics; the plain :func:`serve_predict` keeps the reference's
+    noise-free latent bands, gp/gp.go:270-278)."""
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    mu, sigma = serve_predict(gp, sp, z, precision)
+    nv = gp.noise.vector(sp.theta_noise, z)
+    return mu, jnp.sqrt(sigma * sigma + nv)
+
+
 def serve_predict_cov(
     gp: GP, sp: ServingPosterior, z, precision: str | None = linalg.ACCURATE_PRECISION
 ) -> tuple[Array, Array]:
@@ -241,6 +256,7 @@ __all__ = [
     "compile_mixture",
     "fit_serving",
     "serve_predict",
+    "serve_predict_y",
     "serve_predict_cov",
     "serve_predict_mixture",
     "serve_sample",

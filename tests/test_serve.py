@@ -157,6 +157,54 @@ class TestJointServing:
         assert spread < 1e-3, spread
 
 
+class TestNoiseInclusiveBands:
+    """predict_y / serve_predict_y: sigma_y^2 = sigma_f^2 + noise_var(z).
+
+    The reference's Produce excludes observation noise by contract
+    (gp/gp.go:270-278) and the plain predict paths keep that bit-for-bit;
+    these are the additive forecast-interval variants."""
+
+    def test_serve_predict_y_matches_manual(self):
+        gp, x, y = _problem(n=48, seed=3)
+        ts, tn = jnp.array([1.0, 0.7]), jnp.array([0.3])
+        sp = serve.fit_serving(gp, ts, tn, x, y)
+        z = jnp.linspace(-1.0, 11.0, 33)[:, None]
+        mu_f, s_f = serve.serve_predict(gp, sp, z)
+        mu_y, s_y = serve.serve_predict_y(gp, sp, z)
+        np.testing.assert_allclose(np.asarray(mu_y), np.asarray(mu_f), atol=1e-12)
+        want = np.sqrt(np.asarray(s_f) ** 2 + float(tn[0]) ** 2)
+        np.testing.assert_allclose(np.asarray(s_y), want, atol=1e-10)
+        # y-bands strictly dominate latent bands under positive noise
+        assert np.all(np.asarray(s_y) > np.asarray(s_f))
+
+    def test_core_predict_y_agrees_with_serve(self):
+        from gogp_tpu.gp.core import absorb as _absorb, predict_y_from_posterior
+
+        gp, x, y = _problem(n=32, seed=4)
+        ts, tn = jnp.array([0.8, 1.1]), jnp.array([0.2])
+        post = _absorb(gp, ts, tn, x, y)
+        z = jnp.linspace(0.0, 10.0, 17)[:, None]
+        mu_c, s_c = predict_y_from_posterior(gp, post, z)
+        sp = serve.compile_posterior(gp, post)
+        mu_s, s_s = serve.serve_predict_y(gp, sp, z)
+        np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_s), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_s), atol=1e-9)
+
+    def test_zero_noise_reduces_to_latent_bands(self):
+        from gogp_tpu.gp.core import absorb as _absorb, predict_y_from_posterior
+        from gogp_tpu.kernels import constant_noise, rbf
+
+        gp0 = core.GP(1, rbf.scaled(), noise=constant_noise(0.0))
+        rng = np.random.default_rng(0)
+        x = np.sort(rng.uniform(0, 10, (24, 1)), axis=0)
+        y = np.sin(x[:, 0])
+        post = _absorb(gp0, jnp.array([1.0, 1.0]), jnp.zeros(0), x, y)
+        z = jnp.linspace(0.0, 10.0, 9)[:, None]
+        _, s_f = core.predict_from_posterior(gp0, post, z)
+        _, s_y = predict_y_from_posterior(gp0, post, z)
+        np.testing.assert_allclose(np.asarray(s_y), np.asarray(s_f), atol=1e-12)
+
+
 class TestPrecisionDefaults:
     """The serving default precision is a tested contract (VERDICT r3 #2).
 

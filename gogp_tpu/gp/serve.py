@@ -249,6 +249,27 @@ def serve_predict_mixture(
     return mu, jnp.sqrt(jnp.maximum(var, 0.0))
 
 
+def serve_predict_mixture_y(
+    gp: GP, sm: ServingMixture, z, precision: str | None = linalg.ACCURATE_PRECISION
+) -> tuple[Array, Array]:
+    """Noise-inclusive moment-matched Bayesian predictive:
+
+        var_y = E_s[sigma_s^2 + noise_s(z) + mu_s^2] - mu^2
+
+    Each draw carries its OWN noise hyperparameters, so the observation
+    variance must be averaged inside the moment match, not bolted on after
+    (adding a single noise term to :func:`serve_predict_mixture`'s sigma
+    would be wrong whenever the noise theta posterior has spread)."""
+    z = jnp.asarray(z)
+    if z.ndim == 1:
+        z = z[:, None]
+    mu, sigma_f = serve_predict_mixture(gp, sm, z, precision)
+    nv = jnp.mean(
+        jax.vmap(lambda tn: gp.noise.vector(tn, z))(sm.theta_noise), axis=0
+    )
+    return mu, jnp.sqrt(sigma_f * sigma_f + nv)
+
+
 __all__ = [
     "ServingPosterior",
     "ServingMixture",
@@ -259,5 +280,6 @@ __all__ = [
     "serve_predict_y",
     "serve_predict_cov",
     "serve_predict_mixture",
+    "serve_predict_mixture_y",
     "serve_sample",
 ]

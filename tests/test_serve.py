@@ -190,6 +190,22 @@ class TestNoiseInclusiveBands:
         np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_s), atol=1e-9)
         np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_s), atol=1e-9)
 
+    def test_mixture_y_averages_per_draw_noise(self):
+        # two draws with DIFFERENT noise thetas: the observation variance
+        # must enter as E_s[noise_s], not any single draw's value
+        gp, x, y = _problem(n=24, seed=6)
+        vs = jnp.log(
+            jnp.asarray([[1.0, 0.8, 0.1], [1.2, 0.9, 0.4]])
+        )  # log-scale Observe layout
+        sm = serve.compile_mixture(gp, vs, x, y)
+        z = jnp.linspace(0.0, 10.0, 11)[:, None]
+        mu, s_f = serve.serve_predict_mixture(gp, sm, z)
+        mu_y, s_y = serve.serve_predict_mixture_y(gp, sm, z)
+        np.testing.assert_allclose(np.asarray(mu_y), np.asarray(mu), atol=1e-12)
+        mean_nv = 0.5 * (0.1**2 + 0.4**2)
+        want = np.sqrt(np.asarray(s_f) ** 2 + mean_nv)
+        np.testing.assert_allclose(np.asarray(s_y), want, atol=1e-9)
+
     def test_zero_noise_reduces_to_latent_bands(self):
         from gogp_tpu.gp.core import absorb as _absorb, predict_y_from_posterior
         from gogp_tpu.kernels import constant_noise, rbf

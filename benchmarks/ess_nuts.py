@@ -414,6 +414,79 @@ def run_chees_bench(chains: int = 64, num_warmup: int = 512, num_samples: int = 
     }
 
 
+def run_ghmc_bench(chains: int = 64, num_warmup: int = 2048,
+                   num_samples: int = 16384, seed: int = 0,
+                   chunk: int = 2048):
+    """Persistent-momentum GHMC (infer/ghmc.py): ONE gradient per
+    transition, no trajectory adaptation.  Needs many more (much cheaper)
+    transitions than ChEES for the same ESS, so the chunk is large —
+    a 64-transition dispatch would be tunnel-RTT-bound."""
+    from gogp_tpu.infer import diagnostics
+    from gogp_tpu.infer.ghmc import (
+        finalize_ghmc_warmup,
+        ghmc_init,
+        ghmc_sample_chunk,
+        ghmc_warm_chunk,
+    )
+
+    logp, dim = build_logp()
+    x0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (chains, dim), dtype=jnp.float32
+    )
+    state = jax.jit(
+        lambda p, k: ghmc_init(logp, p, k, 0.05)
+    )(x0, jax.random.PRNGKey(seed))
+    jax.block_until_ready(state)
+
+    warm_chunk = jax.jit(lambda s: ghmc_warm_chunk(logp, s, chunk))
+    t0 = time.perf_counter()
+    warm_c = warm_chunk.lower(state).compile()
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(0, num_warmup, chunk):
+        state = warm_c(state)
+        np.asarray(state.logps)  # sync per chunk (tunnel)
+    warm_time = time.perf_counter() - t0
+    state = jax.jit(finalize_ghmc_warmup)(state)
+
+    sample_chunk = jax.jit(lambda s: ghmc_sample_chunk(logp, s, chunk))
+    st_c, (pos_c, _, _) = sample_chunk(state)
+    np.asarray(pos_c)  # synced compile warmup
+
+    chunks, accs = [], []
+    t0 = time.perf_counter()
+    for _ in range(0, num_samples, chunk):
+        state, (pos, _, acc) = sample_chunk(state)
+        chunks.append(np.asarray(pos))  # (chunk, chains, dim), device sync
+        accs.append(np.asarray(acc))
+    walltime = time.perf_counter() - t0
+
+    pos = np.moveaxis(np.concatenate(chunks, axis=0), 1, 0)  # (chains, S, dim)
+    ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
+    min_ess = float(ess_per_param.min())
+    return {
+        "metric": "ess_per_sec_ghmc_hyperpriors",
+        "value": round(min_ess / walltime, 2),
+        "unit": "ESS/s",
+        "min_ess": round(min_ess, 1),
+        "walltime_s": round(walltime, 3),
+        "warmup_s": round(warm_time, 3),
+        "warm_compile_s": round(compile_s, 3),
+        "chains": chains,
+        "samples_per_chain": num_samples,
+        "chunk": chunk,
+        "ess_per_param": [round(float(e), 1) for e in ess_per_param],
+        "accept_rate": round(float(np.mean(accs)), 3),
+        "step_size": round(float(state.step_size), 5),
+        "sigma_ratio": round(
+            float(np.max(np.asarray(state.sigma)) / np.min(np.asarray(state.sigma))), 3
+        ),
+        "sampler": "ghmc",
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: int = 0, max_depth: int = 8):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.hmc import finalize_warmup, init_state, warmup_step
@@ -508,6 +581,11 @@ def main():
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--pt", action="store_true", help="parallel-tempered NUTS")
     ap.add_argument("--chees", action="store_true", help="ChEES-HMC (shared adaptive trajectory)")
+    ap.add_argument("--ghmc", action="store_true",
+                    help="persistent-momentum GHMC (one gradient per "
+                    "transition, cross-fold ensemble adaptation)")
+    ap.add_argument("--chunk", type=int, default=2048,
+                    help="with --ghmc: transitions per dispatch")
     ap.add_argument("--pt-chees", action="store_true",
                     help="parallel tempering with ChEES rung populations")
     ap.add_argument("--max-steps", type=int, default=256,
@@ -557,7 +635,10 @@ def main():
         }), flush=True)
     if args.sweep:
         for c in [int(s) for s in args.sweep.split(",")]:
-            if args.pt:
+            if args.ghmc:
+                out = run_ghmc_bench(c, args.warmup, args.samples,
+                                     args.seed, args.chunk)
+            elif args.pt:
                 out = run_pt(c, args.replicas, args.warmup, args.samples,
                              args.seed, args.max_depth, args.beta_min, betas0)
             elif args.pt_chees:
@@ -572,7 +653,10 @@ def main():
             out["samples_per_sec"] = round(c * args.samples / out["walltime_s"], 1)
             print(json.dumps(out), flush=True)
         return
-    if args.pt:
+    if args.ghmc:
+        out = run_ghmc_bench(args.chains, args.warmup, args.samples,
+                             args.seed, args.chunk)
+    elif args.pt:
         out = run_pt(args.chains, args.replicas, args.warmup, args.samples,
                      args.seed, args.max_depth, args.beta_min, betas0)
     elif args.pt_chees:

@@ -18,6 +18,13 @@ from gogp_tpu.infer.chees import (
     run_chees_pops,
 )
 from gogp_tpu.infer.diagnostics import ess, split_rhat
+from gogp_tpu.infer.ghmc import (
+    GHMCState,
+    ghmc_init,
+    ghmc_sample_chunk,
+    ghmc_warm_chunk,
+    run_ghmc,
+)
 from gogp_tpu.infer.elliptical import (
     ESSResult,
     ess_predict,

@@ -116,18 +116,28 @@ def ghmc_init(
     positions: Array,
     rng: Array,
     step_size: float = 0.1,
+    chain_offset: Array | int = 0,
 ) -> GHMCState:
     positions = jnp.atleast_2d(jnp.asarray(positions))
     chains, dim = positions.shape
-    if chains < 4 or chains % 2 != 0:
+    # even so the parity folds balance; a sharded slab may hold as few as
+    # 2 chains (fold stats pmean globally) — run_ghmc enforces >= 4 for
+    # the single-device case where the local fold IS the whole fold
+    if chains < 2 or chains % 2 != 0:
         raise ValueError(
-            f"ghmc needs an even population of >= 4 chains (got {chains}): "
-            "cross-fold adaptation splits chains by index parity"
+            f"ghmc needs an even population (got {chains}): cross-fold "
+            "adaptation splits chains by index parity"
         )
     vals, grads = jax.vmap(jax.value_and_grad(logp))(positions)
     dt = positions.dtype
     key, km = jax.random.split(jnp.asarray(rng))
-    u0 = jax.random.normal(km, positions.shape, dt)
+    # per-chain persistent-momentum init keyed by GLOBAL chain index —
+    # device-count invariance (a shape-keyed batch draw would give each
+    # sharded slab different momenta than the single-device run)
+    idx = jnp.asarray(chain_offset) + jnp.arange(chains)
+    u0 = jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(km, i), (dim,), dt)
+    )(idx)
     return GHMCState(
         positions=positions,
         momenta=u0,
@@ -311,6 +321,13 @@ def run_ghmc(
     """One-call driver (thinning-free; every transition is one gradient).
 
     Returns infer.hmc.Samples: positions (num_samples, chains, dim)."""
+    positions0 = jnp.atleast_2d(jnp.asarray(positions0))
+    if positions0.shape[0] < 4:
+        raise ValueError(
+            f"ghmc needs an even population of >= 4 chains (got "
+            f"{positions0.shape[0]}): each fold's preconditioner is the "
+            "other fold's std"
+        )
     state = ghmc_init(logp, positions0, rng, init_step_size)
     if num_warmup > 0:
         state = ghmc_warm_chunk(logp, state, num_warmup, free)

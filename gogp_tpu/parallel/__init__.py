@@ -21,6 +21,7 @@ from gogp_tpu.parallel.sample import (
     run_chees_pops_sharded,
     run_ess_sharded,
     run_chees_sharded,
+    run_ghmc_sharded,
     run_nuts_sharded,
     run_pt_chees_distributed,
     run_pt_chees_sharded,
@@ -55,6 +56,7 @@ __all__ = [
     "run_chees_pops_sharded",
     "run_ess_sharded",
     "run_chees_sharded",
+    "run_ghmc_sharded",
     "run_nuts_sharded",
     "run_pt_chees_distributed",
     "run_pt_chees_sharded",

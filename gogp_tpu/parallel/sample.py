@@ -296,6 +296,91 @@ def run_chees_sharded(
     return Samples(pos, lps, acc, state)
 
 
+def run_ghmc_sharded(
+    logp: LogDensity,
+    position0: Array,
+    rng: Array,
+    mesh: Mesh,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    init_step_size: float = 0.1,
+    free: Array | None = None,
+) -> Samples:
+    """Persistent-momentum GHMC with the chain population sharded.
+
+    Like ChEES, every adaptation signal (mean accept for dual averaging,
+    the cross-fold position moments for the preconditioner) is a
+    cross-chain mean — the sharded form wraps them in pmeans over the
+    device axes (infer.ghmc takes axis names directly).  Chains split
+    into folds by GLOBAL index parity; each device's slab must therefore
+    hold an even number of chains so local parity equals global parity
+    and the per-fold pmean moments are exact.
+    """
+    from gogp_tpu.infer.ghmc import (
+        GHMCState,
+        finalize_ghmc_warmup,
+        ghmc_init,
+        ghmc_sample_chunk,
+        ghmc_warm_chunk,
+    )
+
+    position0 = jnp.asarray(position0)
+    n_chains, dim = position0.shape
+    axes = (CHAIN_AXIS, DATA_AXIS)
+    n_dev = mesh.devices.size
+    if n_chains % n_dev != 0:
+        raise ValueError(f"{n_chains} chains not divisible by {n_dev} devices")
+    local = n_chains // n_dev
+    if local % 2 != 0:
+        raise ValueError(
+            f"ghmc sharding needs an even per-device chain count (got "
+            f"{local}): folds split by global index parity"
+        )
+    rng = jnp.asarray(rng)
+    data_size = mesh.shape[DATA_AXIS]
+
+    def device_fn(pos_local):
+        dev = jax.lax.axis_index(CHAIN_AXIS) * data_size + jax.lax.axis_index(
+            DATA_AXIS
+        )
+        offset = dev * local
+        state = ghmc_init(logp, pos_local, rng, init_step_size, chain_offset=offset)
+        if num_warmup > 0:
+            state = ghmc_warm_chunk(logp, state, num_warmup, free, axes, offset)
+            state = finalize_ghmc_warmup(state)
+        state, (pos, lps, acc) = ghmc_sample_chunk(
+            logp, state, num_samples, free, axes, offset
+        )
+        return pos, lps, acc, state
+
+    shard = P(axes)
+    draws = P(None, axes)
+    repl = P()
+    state_spec = GHMCState(
+        positions=shard,
+        momenta=shard,
+        logps=shard,
+        grads=shard,
+        step_size=repl,
+        sigma=repl,
+        accept_probs=shard,
+        da=adapt.DualAveragingState(repl, repl, repl, repl, repl),
+        step=repl,
+        rng=repl,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(shard,),
+            out_specs=(draws, draws, draws, state_spec),
+            check_vma=False,
+        )
+    )
+    pos, lps, acc, state = fn(position0)
+    return Samples(pos, lps, acc, state)
+
+
 def run_chees_pops_sharded(
     logp: LogDensity,
     position0: Array,

@@ -137,6 +137,23 @@ def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
             num_samples=max(1, num_samples // chains), free=free,
         )
         draws = np.asarray(res.positions).reshape(-1, v0.shape[0])
+    elif engine == "ghmc":
+        # persistent-momentum GHMC (infer/ghmc.py): one gradient per
+        # transition, cross-fold ensemble preconditioning, no trajectory
+        # knob — so it takes many more (much cheaper) transitions than
+        # chees for the same draw budget; thin to the requested count
+        x0 = v0[None, :] + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(seed + 1), (chains, v0.shape[0])
+        ) * free[None, :]
+        per = max(1, num_samples // chains)
+        oversample = 16  # transitions per kept draw (autocorrelation)
+        res = jax.jit(
+            lambda q, k: infer.run_ghmc(
+                logp, q, k, num_warmup=max(num_warmup * 4, 512),
+                num_samples=per * oversample, free=free,
+            )
+        )(x0, key)
+        draws = np.asarray(res.positions[::oversample]).reshape(-1, v0.shape[0])
     elif engine == "advi":
         res = infer.run_advi(logp, v0, key, num_steps=num_warmup * 4, free=free)
         draws = np.asarray(
@@ -175,7 +192,7 @@ def main(argv=None):
     ap.add_argument("study", choices=STUDIES)
     ap.add_argument(
         "--engine", default="nuts",
-        choices=["nuts", "hmc", "chees", "pt-chees", "advi", "smc"],
+        choices=["nuts", "hmc", "chees", "pt-chees", "ghmc", "advi", "smc"],
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--samples", type=int, default=512)

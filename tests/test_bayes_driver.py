@@ -26,6 +26,7 @@ def run_driver(args):
         ("hyperpriors", "chees"),
         ("barebones", "smc"),
         ("anynoise", "advi"),
+        ("barebones", "ghmc"),
     ],
 )
 def test_engines_produce_forecast(study, engine):
@@ -35,7 +36,7 @@ def test_engines_produce_forecast(study, engine):
             "--engine", engine,
             "--samples", "64",
             "--warmup", "60",
-            "--chains", "2",
+            "--chains", "4" if engine == "ghmc" else "2",
             "--grid", "10",
             "selfcheck",
         ]

@@ -115,8 +115,10 @@ class TestGHMC:
     def test_odd_or_tiny_population_raises(self):
         with pytest.raises(ValueError, match="even population"):
             ghmc_init(mvn_logp, jnp.zeros((5, 2)), jax.random.PRNGKey(0))
-        with pytest.raises(ValueError, match="even population"):
-            ghmc_init(mvn_logp, jnp.zeros((2, 2)), jax.random.PRNGKey(0))
+        # a 2-chain SLAB is legal (sharded folds are global); the
+        # single-device driver still demands >= 4
+        with pytest.raises(ValueError, match=">= 4"):
+            infer.run_ghmc(mvn_logp, jnp.zeros((2, 2)), jax.random.PRNGKey(0))
 
     def test_divergences_do_not_stick(self):
         # absurd init step: early divergences must flip momentum, stay
@@ -132,25 +134,30 @@ class TestGHMC:
 
 
 class TestGHMCOnGP:
-    def test_hyperpriors_posterior_agrees_with_chees(self):
-        """Cross-engine agreement on the flagship model (the test_classify
-        cross-engine pattern): GHMC and ChEES sample the same posterior
-        within Monte-Carlo error."""
+    def test_barebones_posterior_agrees_with_chees(self):
+        """Cross-engine agreement on a real GP posterior.  Barebones (2
+        thetas + noise, N(0,1) priors) is unimodal, so finite-sample
+        engine comparisons are stable; the multimodal hyperpriors
+        posterior makes any finite-run mean comparison a mode-weight
+        lottery (measured: ChEES itself varies by that much across
+        seeds — STATUS round 4)."""
+        from gogp_tpu import dists
         from gogp_tpu.models.params import gp_observe
         from gogp_tpu.tutorial import io as tio
-        from gogp_tpu.tutorial.hyperpriors import make_priors, make_study, selfcheck_data
+        from gogp_tpu.tutorial.barebones import make_study, selfcheck_data
 
         study = make_study()
         gp = study.gp
         x, y = tio.load_csv(selfcheck_data())
         y_norm, _, _ = tio.normalize(y)
-        priors = make_priors(x, y_norm)
         xj = jnp.asarray(x)
         yj = jnp.asarray(y_norm)
         mask = jnp.ones(x.shape[0])
 
         def logp(v):
-            return gp_observe(gp, v, x=xj, y=yj, mask=mask) + priors(v, mask)
+            return gp_observe(gp, v, x=xj, y=yj, mask=mask) + jnp.sum(
+                dists.normal_logp(0.0, 1.0, v)
+            )
 
         x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(20), (16, gp.n_theta))
         g = infer.run_ghmc(
@@ -162,10 +169,9 @@ class TestGHMCOnGP:
         sg = np.asarray(g.positions).reshape(-1, gp.n_theta)
         sc = np.asarray(c.positions).reshape(-1, gp.n_theta)
         assert np.all(np.isfinite(sg))
-        # posterior means agree within generous MC error (multimodal tails)
-        assert np.allclose(sg.mean(axis=0), sc.mean(axis=0), atol=0.5), (
+        assert np.allclose(sg.mean(axis=0), sc.mean(axis=0), atol=0.25), (
             sg.mean(axis=0), sc.mean(axis=0),
         )
-        assert np.allclose(sg.std(axis=0), sc.std(axis=0), atol=0.6), (
+        assert np.allclose(sg.std(axis=0), sc.std(axis=0), atol=0.3), (
             sg.std(axis=0), sc.std(axis=0),
         )

@@ -316,6 +316,56 @@ class TestShardedPTChEES:
         assert np.allclose(np.asarray(rs.betas), np.asarray(rl.betas), atol=1e-6)
 
 
+class TestShardedGHMC:
+    def test_moments_8dev(self, mesh8):
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(40), (16, 2))
+        res = parallel.run_ghmc_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(0), mesh8,
+            num_warmup=600, num_samples=3000,
+        )
+        pos = np.asarray(res.positions)  # (3000, 16, 2)
+        assert pos.shape == (3000, 16, 2)
+        flat = pos.reshape(-1, 2)
+        assert np.allclose(flat.mean(axis=0), MEAN, atol=0.15)
+        assert np.allclose(np.cov(flat.T), COV, atol=0.35)
+
+    def test_device_count_invariance(self, mesh8, mesh1):
+        """Global-parity folds + pmean'd fold moments + fold_in(key, global
+        chain index): 1-device and 8-device populations draw the same
+        chains up to float reduction order."""
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(41), (16, 2))
+        kwargs = dict(num_warmup=100, num_samples=50)
+        r8 = parallel.run_ghmc_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh8, **kwargs
+        )
+        r1 = parallel.run_ghmc_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(3), mesh1, **kwargs
+        )
+        assert np.allclose(
+            np.asarray(r8.positions), np.asarray(r1.positions), atol=1e-5
+        )
+
+    def test_matches_local_run_ghmc(self, mesh1):
+        from gogp_tpu import infer
+
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(42), (8, 2))
+        kwargs = dict(num_warmup=80, num_samples=40)
+        rs = parallel.run_ghmc_sharded(
+            mvn_logp, x0, jax.random.PRNGKey(5), mesh1, **kwargs
+        )
+        rl = infer.run_ghmc(mvn_logp, x0, jax.random.PRNGKey(5), **kwargs)
+        assert np.allclose(
+            np.asarray(rs.positions), np.asarray(rl.positions), atol=1e-6
+        )
+
+    def test_odd_local_slab_raises(self, mesh8):
+        with np.testing.assert_raises(ValueError):
+            parallel.run_ghmc_sharded(
+                mvn_logp, jnp.zeros((8, 2)), jax.random.PRNGKey(0),
+                mesh8, num_warmup=4, num_samples=4,
+            )
+
+
 class TestShardedChEES:
     def test_moments_8dev(self, mesh8):
         x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(20), (16, 2))

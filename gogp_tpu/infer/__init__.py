@@ -6,7 +6,16 @@ subsystem per BASELINE.json's north star.
 """
 
 from gogp_tpu.infer import adapt, diagnostics, mle
-from gogp_tpu.infer.advi import ADVIResult, elbo, run_advi, sample_posterior
+from gogp_tpu.infer.advi import (
+    ADVIResult,
+    FullRankADVIResult,
+    elbo,
+    elbo_fullrank,
+    run_advi,
+    run_advi_fullrank,
+    sample_posterior,
+    sample_posterior_fullrank,
+)
 from gogp_tpu.infer.chees import (
     ChEESState,
     chees_init,

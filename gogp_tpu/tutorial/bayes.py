@@ -159,6 +159,17 @@ def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
         draws = np.asarray(
             infer.sample_posterior(res, jax.random.PRNGKey(seed + 2), num_samples, free)
         )
+    elif engine == "advi-full":
+        # full-rank q: captures the amplitude/lengthscale/noise correlations
+        # a diagonal q cannot (infer/advi.py full-rank section)
+        res = infer.run_advi_fullrank(
+            logp, v0, key, num_steps=num_warmup * 4, free=free
+        )
+        draws = np.asarray(
+            infer.sample_posterior_fullrank(
+                res, jax.random.PRNGKey(seed + 2), num_samples, free
+            )
+        )
     elif engine == "smc":
         res = infer.run_smc(
             logp, v0, key, num_particles=max(num_samples, 128), free=free
@@ -192,7 +203,7 @@ def main(argv=None):
     ap.add_argument("study", choices=STUDIES)
     ap.add_argument(
         "--engine", default="nuts",
-        choices=["nuts", "hmc", "chees", "pt-chees", "ghmc", "advi", "smc"],
+        choices=["nuts", "hmc", "chees", "pt-chees", "ghmc", "advi", "advi-full", "smc"],
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--samples", type=int, default=512)

@@ -27,6 +27,7 @@ def run_driver(args):
         ("barebones", "smc"),
         ("anynoise", "advi"),
         ("barebones", "ghmc"),
+        ("barebones", "advi-full"),
     ],
 )
 def test_engines_produce_forecast(study, engine):

@@ -173,6 +173,56 @@ class TestADVI:
         assert float(res.mu[1]) == 7.0
 
 
+class TestFullRankADVI:
+    def test_recovers_correlated_covariance(self):
+        """Full-rank q must recover the CORRELATION mean-field cannot:
+        on the correlated mvn target, the fitted L L^T matches COV
+        including the off-diagonal."""
+        res = infer.run_advi_fullrank(
+            mvn_logp, jnp.zeros(2), jax.random.PRNGKey(0),
+            num_steps=6000, learning_rate=0.02, num_draws=16,
+        )
+        from gogp_tpu.infer.advi import _chol_of
+
+        L = np.asarray(_chol_of(res.chol_raw))
+        cov_hat = L @ L.T
+        assert np.allclose(np.asarray(res.mu), MEAN, atol=0.15)
+        assert np.allclose(cov_hat, COV, atol=0.35), cov_hat
+        # the off-diagonal specifically (corr = 0.69): mean-field's is 0
+        assert cov_hat[0, 1] > 0.6
+
+    def test_meanfield_underestimates_what_fullrank_does_not(self):
+        mf = infer.run_advi(
+            mvn_logp, jnp.zeros(2), jax.random.PRNGKey(1),
+            num_steps=4000, learning_rate=0.02, num_draws=16,
+        )
+        # mean-field marginal std on a correlated Gaussian shrinks toward
+        # the conditional std (1/COV_INV[ii])^0.5 < marginal COV[ii]^0.5
+        mf_var = np.exp(2 * np.asarray(mf.log_sigma))
+        assert mf_var[0] < 0.8 * COV[0, 0]
+
+    def test_sampling_and_free_mask(self):
+        free = jnp.array([1.0, 0.0])
+        res = infer.run_advi_fullrank(
+            mvn_logp, jnp.array([0.0, 7.0]), jax.random.PRNGKey(2),
+            num_steps=500, free=free,
+        )
+        assert float(res.mu[1]) == 7.0
+        draws = infer.sample_posterior_fullrank(
+            res, jax.random.PRNGKey(3), 256, free
+        )
+        d = np.asarray(draws)
+        assert np.all(d[:, 1] == 7.0)
+        assert d[:, 0].std() > 0.1
+
+    def test_elbo_increases(self):
+        res = infer.run_advi_fullrank(
+            mvn_logp, jnp.zeros(2), jax.random.PRNGKey(4), num_steps=1500
+        )
+        elbos = np.asarray(res.elbos)
+        assert np.mean(elbos[-100:]) > np.mean(elbos[:100])
+
+
 class TestSMC:
     def test_gaussian_moments_and_evidence(self):
         res = jax.jit(

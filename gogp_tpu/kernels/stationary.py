@@ -48,10 +48,17 @@ rbf = normal  # conventional alias
 
 
 def _periodic_pair(theta, xa, xb):
-    # exp(-2 (sin(pi |xa-xb| / p) / l)^2) — reference kernel/kernel.go:44-47.
+    # exp(-2 sum_d (sin(pi tau_d / p) / l)^2), tau = xa - xb.
+    # For 1-D inputs this equals the reference's exp(-2 (sin(pi|xa-xb|/p)/l)^2)
+    # exactly (kernel/kernel.go:44-47; sin^2 is even), and it is smooth in
+    # tau with no |.| guard needed.  The per-dimension PRODUCT form is the
+    # standard multi-dim periodic kernel and is PSD in every dimension —
+    # the Euclidean-norm form exp(-2 sin^2(pi ||tau|| / p)/l^2) is NOT a
+    # valid kernel for ndim > 1 (measured: min eigenvalue -0.86 on random
+    # 2-D inputs; caught by tests/test_kernel_properties.py).
     l, p = theta[0], theta[1]
-    d = jnp.sin(jnp.pi * _dist(xa, xb) / p) / l
-    return jnp.exp(-2 * d * d)
+    s = jnp.sin(jnp.pi * (xa - xb) / p) / l
+    return jnp.exp(-2 * jnp.sum(s * s))
 
 
 periodic = Kernel(2, _periodic_pair, "periodic", ("periodic",))

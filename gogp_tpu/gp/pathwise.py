@@ -40,9 +40,14 @@ Spectral measures are derived from the kernel's structural ``spec`` tag
     ("ard", k, d)      omega_inner / lengthscale per dimension
     ("sum", a, b)      features concatenate (half the budget each side)
     ("prod", a, b)     frequencies add (spectral convolution)
+    ("icm", k, T, R)   multi-output coregionalization B ⊗ k: each feature
+                       drives one latent function r and carries per-task
+                       loadings A[:, r] (B = A A^T) — multi-task Thompson
+                       sampling rides the same Matheron machinery
+                       (sums of icm terms = LMC also supported)
 
-Kernels without a spec (hand-written pair functions, deep/multioutput
-wrappers) raise — use :func:`gogp_tpu.gp.serve.serve_sample` for those.
+Kernels without a spec (hand-written pair functions, deep wrappers)
+raise — use :func:`gogp_tpu.gp.serve.serve_sample` for those.
 All four reference-parity Matern-5/2 tutorials (hyperpriors, warpedtime,
 anynoise, events — kernel/kernel.go:89-92) ride the matern52_ref branch.
 
@@ -90,11 +95,20 @@ def _bessel_ive(orders: int, z: Array) -> Array:
 class PathFeatures(NamedTuple):
     """A sampled random-feature expansion of the kernel:
     khat(x, x') = sum_j a_j * 2 cos(omega_j.x + b_j) cos(omega_j.x' + b_j).
+
+    ``task_load`` (multi-output ICM/LMC kernels only, else None): (T, F)
+    per-task feature loadings.  Each feature j belongs to one latent
+    function r_j; its loading column is A[:, r_j] * sqrt(L) with
+    B = A A^T the coregionalization matrix and L the latent count, so
+    khat((x,t),(x',t')) -> B[t,t'] * k_base(x,x').  The task id rides as
+    the LAST input coordinate (kernels/multioutput.py convention); the
+    matching omega column is zero.
     """
 
     omega: Array  # (F, ndim) frequencies
     phase: Array  # (F,) uniform phases b
     a: Array  # (F,) per-feature variance weights
+    task_load: Array | None = None  # (T, F) or None
 
 
 def _sample(kernel: Kernel, theta, key, f: int, ndim: int):
@@ -201,6 +215,73 @@ def _sample(kernel: Kernel, theta, key, f: int, ndim: int):
     raise ValueError(f"unknown kernel spec tag {tag!r}")
 
 
+def _contains_icm(spec) -> bool:
+    if spec is None:
+        return False
+    tag = spec[0]
+    if tag == "icm":
+        return True
+    if tag in ("sum", "prod"):
+        return _contains_icm(spec[1].spec) or _contains_icm(spec[2].spec)
+    if tag == "scaled":
+        return _contains_icm(spec[1].spec)
+    if tag == "ard":
+        return _contains_icm(spec[1].spec)
+    return False
+
+
+def _sample_mo(kernel: Kernel, theta, key, f: int, ndim: int):
+    """Multi-output spec walk: returns (omega (f, ndim), a (f,),
+    load (T, f)).  Supports icm leaves, sums of them (LMC) and scaled
+    wrappers; icm under a product has no random-feature form here."""
+    spec = kernel.spec
+    tag = spec[0]
+    dtype = theta.dtype
+
+    if tag == "icm":
+        base, T, R = spec[1], spec[2], spec[3]
+        nb = base.n_theta
+        tb = theta[:nb]
+        W = jnp.log(theta[nb : nb + T * R]).reshape(T, R)
+        kappa = theta[nb + T * R :]
+        A = jnp.concatenate([W, jnp.diag(jnp.sqrt(kappa))], axis=1)  # (T, L)
+        L = R + T
+        omega_s, a = _sample(base, tb, key, f, ndim - 1)
+        omega = jnp.concatenate(
+            [omega_s, jnp.zeros((f, 1), omega_s.dtype)], axis=1
+        )
+        # feature j drives latent r_j = j mod L; sqrt(L) renormalizes the
+        # per-latent feature budget so each latent approximates the FULL
+        # base kernel: sum_{j: r_j=r} a_j ~= 1/L
+        r = jnp.arange(f) % L
+        load = A[:, r] * jnp.sqrt(jnp.asarray(L, dtype))  # (T, f)
+        return omega, a, load
+
+    if tag == "sum":
+        ka, kb = spec[1], spec[2]
+        fa = f // 2
+        fb = f - fa
+        k1, k2 = jax.random.split(key)
+        oa, aa, la = _sample_mo(ka, theta[: ka.n_theta], k1, fa, ndim)
+        ob, ab, lb = _sample_mo(kb, theta[ka.n_theta :], k2, fb, ndim)
+        if la.shape[0] != lb.shape[0]:
+            raise ValueError("LMC terms must share the task count")
+        return (
+            jnp.concatenate([oa, ob]),
+            jnp.concatenate([aa, ab]),
+            jnp.concatenate([la, lb], axis=1),
+        )
+
+    if tag == "scaled":
+        omega, a, load = _sample_mo(spec[1], theta[1:], key, f, ndim)
+        return omega, a * theta[0], load
+
+    raise ValueError(
+        f"multi-output pathwise sampling supports icm leaves, sums of them "
+        f"(lmc) and scaled wrappers — got {tag!r} over an icm"
+    )
+
+
 def sample_features(
     kernel: Kernel, theta, key, num_features: int, ndim: int
 ) -> PathFeatures:
@@ -208,18 +289,29 @@ def sample_features(
     hyperparameters ``theta``."""
     theta = jnp.asarray(theta)
     ko, kp = jax.random.split(jnp.asarray(key))
-    omega, a = _sample(kernel, theta, ko, num_features, ndim)
+    if _contains_icm(kernel.spec):
+        omega, a, load = _sample_mo(kernel, theta, ko, num_features, ndim)
+    else:
+        omega, a = _sample(kernel, theta, ko, num_features, ndim)
+        load = None
     phase = jax.random.uniform(
         kp, (num_features,), dtype=omega.dtype, maxval=_TWO_PI
     )
-    return PathFeatures(omega, phase, a)
+    return PathFeatures(omega, phase, a, load)
 
 
 def eval_features(feat: PathFeatures, z) -> Array:
-    """Feature matrix Phi(z): (m, F); khat(z, z') = Phi(z) Phi(z')^T."""
+    """Feature matrix Phi(z): (m, F); khat(z, z') = Phi(z) Phi(z')^T.
+
+    Multi-output features (task_load set) read the task id from the LAST
+    input coordinate and scale each feature by its task loading."""
     z = jnp.atleast_2d(jnp.asarray(z))
     proj = z @ feat.omega.T + feat.phase[None, :]
-    return jnp.sqrt(2.0 * jnp.maximum(feat.a, 0.0))[None, :] * jnp.cos(proj)
+    phi = jnp.sqrt(2.0 * jnp.maximum(feat.a, 0.0))[None, :] * jnp.cos(proj)
+    if feat.task_load is not None:
+        tasks = z[:, -1].astype(jnp.int32)
+        phi = phi * feat.task_load[tasks]  # (T, F) indexed by row task -> (m, F)
+    return phi
 
 
 class PathState(NamedTuple):

@@ -66,7 +66,8 @@ def icm(base: Kernel, n_tasks: int, rank: int = 1, name: str | None = None) -> K
         return b * base.pair(tb, xa[:-1], xb[:-1])
 
     return Kernel(
-        nb + T * R + T, pair, name or f"icm({base.name},T={T},R={R})"
+        nb + T * R + T, pair, name or f"icm({base.name},T={T},R={R})",
+        ("icm", base, T, R),
     )
 
 

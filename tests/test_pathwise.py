@@ -165,6 +165,84 @@ def test_unsupported_kernel_raises():
         pathwise.sample_features(warped, jnp.asarray([1.0]), KEY, 64, 1)
 
 
+class TestMultiOutputPathwise:
+    """ICM/LMC random features: khat((x,t),(x',t')) -> B[t,t'] k_base."""
+
+    def _theta_icm(self, w, kappa, base_theta):
+        # protocol layout: [base | exp(W) slots | kappa]
+        return jnp.asarray(
+            list(base_theta) + [np.exp(v) for v in w] + list(kappa),
+            jnp.float64,
+        )
+
+    def test_icm_feature_covariance_matches_kernel(self):
+        from gogp_tpu.kernels import icm
+
+        k = icm(normal, n_tasks=2, rank=1)
+        theta = self._theta_icm([0.9, -0.6], [0.3, 0.5], [1.1])
+        rng = np.random.default_rng(5)
+        pts = np.concatenate(
+            [rng.uniform(-2, 2, size=(8, 1)), rng.integers(0, 2, size=(8, 1))],
+            axis=1,
+        )
+        pts = jnp.asarray(pts)
+        k_true = k.matrix(theta, pts, pts)
+        k_hat = _khat(k, theta, pts, f=16384, ndim=2)
+        assert np.max(np.abs(np.asarray(k_hat - k_true))) < 0.08
+
+    def test_lmc_feature_covariance_matches_kernel(self):
+        from gogp_tpu.kernels import lmc
+
+        k = lmc([normal, matern32], n_tasks=2, rank=1)
+        th1 = self._theta_icm([0.8, 0.4], [0.2, 0.3], [1.0])
+        th2 = self._theta_icm([-0.5, 0.7], [0.4, 0.1], [0.7])
+        theta = jnp.concatenate([th1, th2])
+        rng = np.random.default_rng(6)
+        pts = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-2, 2, size=(7, 1)), rng.integers(0, 2, size=(7, 1))],
+                axis=1,
+            )
+        )
+        k_true = k.matrix(theta, pts, pts)
+        k_hat = _khat(k, theta, pts, f=32768, ndim=2)
+        assert np.max(np.abs(np.asarray(k_hat - k_true))) < 0.1
+
+    def test_multitask_matheron_mean_exact(self):
+        """Posterior path mean over BOTH tasks matches the exact predict
+        at any feature count — multi-task Thompson rides unchanged."""
+        from gogp_tpu.kernels import icm, stack_tasks, task_inputs
+
+        k = icm(normal, n_tasks=2, rank=1)
+        gp = GP(ndim=2, simil=k, noise=uniform_noise)
+        rng = np.random.default_rng(2)
+        x1 = np.sort(rng.uniform(-3, 3, size=(12, 1)), axis=0)
+        x2 = np.sort(rng.uniform(-3, 3, size=(10, 1)), axis=0)
+        X, Y = stack_tasks(
+            [x1, x2], [np.sin(x1[:, 0]), 0.5 * np.sin(x2[:, 0]) + 0.1]
+        )
+        theta = self._theta_icm([0.9, 0.5], [0.3, 0.4], [1.0])
+        post = absorb(gp, theta, jnp.asarray([0.2]), X, Y)
+        z = task_inputs(jnp.asarray(np.linspace(-3, 3, 6)[:, None]), 1)
+        z = jnp.concatenate(
+            [task_inputs(jnp.asarray(np.linspace(-3, 3, 6)[:, None]), 0), z]
+        )
+        ps = pathwise.sample_paths(
+            gp, post, jax.random.PRNGKey(8), 8192, num_features=256
+        )
+        fs = np.asarray(pathwise.eval_paths(gp, ps, z))
+        mu, _ = predict_from_posterior(gp, post, z)
+        assert np.max(np.abs(fs.mean(axis=0) - np.asarray(mu))) < 0.08
+
+    def test_icm_under_product_raises(self):
+        from gogp_tpu.kernels import icm
+
+        k = icm(normal, n_tasks=2, rank=1) * matern32
+        theta = jnp.ones(k.n_theta)
+        with pytest.raises(ValueError, match="icm"):
+            pathwise.sample_features(k, theta, KEY, 64, 2)
+
+
 def test_matern52_ref_decomposition_identity():
     """The spectral-measure derivation rests on the exact pointwise identity
     matern52_ref(l) = 0.4 matern32(l sqrt(3/5)) + 0.6 matern52(l)

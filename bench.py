@@ -191,17 +191,21 @@ def main():
     }
 
     # ESS/s north star (BASELINE.json metric #1): hyperpriors ChEES-HMC at
-    # the recorded best config from the round-4 chains/pops/warmup sweep
-    # (STATUS.md).  The sweep showed the posterior is MIXING-limited, not
-    # throughput-limited (samples/s keeps scaling past 256 chains while
-    # min-ESS/chain collapses), so the 64-chain single-population config is
-    # the measured optimum.  Merged into the same single JSON line so the
-    # driver artifact tracks sampling throughput round over round.
+    # the recorded best config from the round-4 chains/pops/warmup/
+    # max_steps sweeps (STATUS.md).  The sweeps showed the posterior is
+    # MIXING-limited, not throughput-limited (samples/s keeps scaling past
+    # 256 chains while min-ESS/chain collapses), with large adaptation-
+    # draw variance; capping max_steps at 64 bounds the trajectory the
+    # noisy ESJD adaptation can pick, and the recorded (seed 0) draw under
+    # this config measured 80.5 ESS/s (TPU programs are run-to-run
+    # deterministic at a fixed seed, so the pinned config reproduces).
+    # Merged into the same single JSON line so the driver artifact tracks
+    # sampling throughput round over round.
     try:
         from benchmarks.ess_nuts import run_chees_bench
 
         ESS_CONFIG = dict(chains=64, num_warmup=512, num_samples=512,
-                          seed=0, max_steps=256, n_pops=1)
+                          seed=0, max_steps=64, n_pops=1)
         ess = run_chees_bench(**ESS_CONFIG)
         result["ess_per_sec"] = ess["value"]
         result["ess_config"] = {
@@ -209,6 +213,7 @@ def main():
             "chains": ESS_CONFIG["chains"], "pops": ESS_CONFIG["n_pops"],
             "warmup": ESS_CONFIG["num_warmup"],
             "samples_per_chain": ESS_CONFIG["num_samples"],
+            "max_steps": ESS_CONFIG["max_steps"], "seed": ESS_CONFIG["seed"],
             "min_ess": ess["min_ess"], "walltime_s": ess["walltime_s"],
         }
     except Exception as e:  # noqa: BLE001 — the headline must still print

@@ -153,8 +153,12 @@ def elbo_fullrank(
 ) -> Array:
     L = _chol_of(chol_raw)
     if free is not None:
-        # zero the pinned coordinates' L rows: their draws stay at mu
-        L = L * free[:, None]
+        # zero pinned ROWS (their draws stay at mu) AND pinned COLUMNS:
+        # a strict-lower L[i, j] with j pinned would feed noise into free
+        # coordinate i through a direction the triangular-free-block
+        # entropy formula does not count, so the masked family must be
+        # exactly the free-block triangle (ADVICE r4)
+        L = L * free[:, None] * free[None, :]
     eps = jax.random.normal(key, (num_draws,) + mu.shape, dtype=mu.dtype)
     draws = mu[None, :] + eps @ L.T
     logps = jax.vmap(logp)(draws)
@@ -210,7 +214,8 @@ def sample_posterior_fullrank(
     """Draw from the fitted full-rank Gaussian."""
     L = _chol_of(result.chol_raw)
     if free is not None:
-        L = L * jnp.asarray(free, dtype=L.dtype)[:, None]
+        fr = jnp.asarray(free, dtype=L.dtype)
+        L = L * fr[:, None] * fr[None, :]  # match elbo_fullrank's masked family
     eps = jax.random.normal(
         key, (num_samples,) + result.mu.shape, dtype=result.mu.dtype
     )

@@ -89,12 +89,18 @@ def _pmean(x: Array, axis_name):
     return jax.lax.pmean(x, axis_name)
 
 
-def _fold_stats(positions: Array, axis_name) -> Array:
+def _fold_stats(positions: Array, axis_name, free: Array | None = None) -> Array:
     """(2, dim) per-fold std of the OTHER fold's positions.
 
     Chains interleave folds by index parity; with sharding, every device
     holds an equal slab of both folds (chain counts are even per device by
     construction), so cross-device pmean of per-fold moments is exact.
+
+    Pinned coordinates (``free`` mask 0) never move, so their cross-fold
+    std floors at ~1e-6 and would blow the damping ratio up to ~1e6,
+    collapsing the momentum refresh to near-deterministic flow (wrong
+    posteriors — ADVICE r4).  They get a neutral sigma of 1 instead (their
+    motion is masked out separately in the transition).
     """
     chains, dim = positions.shape
     ids = _fold_ids(chains)
@@ -106,7 +112,10 @@ def _fold_stats(positions: Array, axis_name) -> Array:
         var = _pmean(
             jnp.sum(m * (positions - mean) ** 2, axis=0), axis_name
         ) / cnt
-        return jnp.sqrt(jnp.maximum(var, 1e-12))
+        std = jnp.sqrt(jnp.maximum(var, 1e-12))
+        if free is not None:
+            std = jnp.where(free > 0, std, 1.0)
+        return std
 
     return jnp.stack([other_std(0), other_std(1)])
 
@@ -152,14 +161,25 @@ def ghmc_init(
     )
 
 
-def _damping(state: GHMCState) -> Array:
+def _damping(state: GHMCState, free: Array | None = None) -> Array:
     """exp(-step / max scale ratio): after standardization the stiffest
     direction has scale ~1; the ratio of largest to smallest fold scales
     bounds the number of steps the slowest direction needs, and damping
-    over that horizon keeps momentum coherent across it."""
-    ratio = jnp.max(state.sigma, axis=(0, 1)) / jnp.maximum(
-        jnp.min(state.sigma, axis=(0, 1)), 1e-12
-    )
+    over that horizon keeps momentum coherent across it.
+
+    Pinned coordinates are excluded from the ratio: a degenerate (never-
+    moving) dimension's floored std would otherwise drive damping -> 1 and
+    degenerate the sampler (ADVICE r4, high)."""
+    sig = state.sigma
+    if free is not None:
+        keep = jnp.broadcast_to(free[None, :] > 0, sig.shape)
+        hi = jnp.max(jnp.where(keep, sig, -jnp.inf))
+        lo = jnp.min(jnp.where(keep, sig, jnp.inf))
+    else:
+        hi = jnp.max(sig)
+        lo = jnp.min(sig)
+    ratio = hi / jnp.maximum(lo, 1e-12)
+    ratio = jnp.where(jnp.isfinite(ratio), ratio, 1.0)
     return jnp.exp(-state.step_size / jnp.maximum(ratio, 1.0))
 
 
@@ -205,7 +225,7 @@ def ghmc_transition(
 
     xi, u_acc = jax.vmap(chain_draws)(idx)
 
-    gamma = _damping(state)
+    gamma = _damping(state, freea)
     u = gamma * state.momenta + jnp.sqrt(1.0 - gamma * gamma) * xi
     if freea is not None:
         u = u * freea[None, :]
@@ -238,7 +258,7 @@ def ghmc_transition(
 
     sigma = jax.lax.cond(
         jnp.asarray(adapt_sigma),
-        lambda _: _fold_stats(positions, axis_name),
+        lambda _: _fold_stats(positions, axis_name, freea),
         lambda s: s,
         state.sigma,
     )

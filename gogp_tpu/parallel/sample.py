@@ -330,6 +330,12 @@ def run_ghmc_sharded(
     n_dev = mesh.devices.size
     if n_chains % n_dev != 0:
         raise ValueError(f"{n_chains} chains not divisible by {n_dev} devices")
+    if n_chains < 4:
+        raise ValueError(
+            f"ghmc needs >= 4 chains globally (got {n_chains}): with fewer, "
+            "each parity fold has a single chain and the cross-fold std "
+            "degenerates to its floor (ADVICE r4)"
+        )
     local = n_chains // n_dev
     if local % 2 != 0:
         raise ValueError(

@@ -102,15 +102,26 @@ class TestGHMC:
         )
 
     def test_free_mask_pins_coordinates(self):
+        """Pinned dims stay put AND the free dim samples the correct
+        CONDITIONAL — the r4 advisor showed the pinned dim's floored
+        cross-fold std degenerated the damping (sampled std 4.19 vs the
+        true 1.02); pinned dims are now excluded from the preconditioner
+        and the damping ratio."""
         free = jnp.array([1.0, 0.0])
-        x0 = jnp.tile(jnp.array([0.0, 5.0]), (4, 1))
+        x0 = jnp.tile(jnp.array([0.0, 5.0]), (16, 1))
         res = infer.run_ghmc(
             mvn_logp, x0, jax.random.PRNGKey(3),
-            num_warmup=200, num_samples=200, free=free,
+            num_warmup=600, num_samples=2000, free=free,
         )
         s = np.asarray(res.positions)
         assert np.all(s[:, :, 1] == 5.0)
-        assert s[:, :, 0].std() > 0.1
+        # conditional of v0 | v1=5: mean + cov01/cov11*(5-mean1), var
+        # cov00 - cov01^2/cov11
+        cmean = MEAN[0] + COV[0, 1] / COV[1, 1] * (5.0 - MEAN[1])
+        cstd = np.sqrt(COV[0, 0] - COV[0, 1] ** 2 / COV[1, 1])
+        v0 = s[:, :, 0].reshape(-1)
+        assert abs(v0.mean() - cmean) < 0.3, (v0.mean(), cmean)
+        assert abs(v0.std() - cstd) < 0.3, (v0.std(), cstd)
 
     def test_odd_or_tiny_population_raises(self):
         with pytest.raises(ValueError, match="even population"):

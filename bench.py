@@ -190,31 +190,42 @@ def main():
         "platform": platform,
     }
 
-    # ESS/s north star (BASELINE.json metric #1): hyperpriors ChEES-HMC at
-    # the recorded best config from the round-4 chains/pops/warmup/
-    # max_steps sweeps (STATUS.md).  The sweeps showed the posterior is
-    # MIXING-limited, not throughput-limited (samples/s keeps scaling past
-    # 256 chains while min-ESS/chain collapses), with large adaptation-
-    # draw variance; capping max_steps at 64 bounds the trajectory the
-    # noisy ESJD adaptation can pick, and the recorded (seed 0) draw under
-    # this config measured 80.5 ESS/s (TPU programs are run-to-run
-    # deterministic at a fixed seed, so the pinned config reproduces).
-    # Merged into the same single JSON line so the driver artifact tracks
-    # sampling throughput round over round.
+    # ESS/s north star (BASELINE.json metric #1), round-5 protocol: the
+    # SEED-MEDIAN over 5 fixed seeds at one pinned config, each seed's ESS
+    # estimated from 2048 retained draws with split-chain ESS and gated on
+    # max split-R-hat <= 1.01 (a non-converged seed scores 0).  The r4
+    # number (82.7) was the best single draw of a 2x4 sweep — ~4-8x its
+    # own seed-median — so r5+ rounds compare medians, not lucky draws
+    # (VERDICT r4 #1).  The engine config (ChEES + post-warmup K=4
+    # trajectory race) is the median-best row of the round-5 engine table
+    # (STATUS.md): racing replaces the noisy adaptation draw with an
+    # argmax over probed candidates, which is nearly free on this
+    # mixing-limited chip.  ess_per_sec == the sampling-walltime median;
+    # the e2e variant includes warmup + race walltime in the denominator.
     try:
-        from benchmarks.ess_nuts import run_chees_bench
+        from benchmarks.ess_nuts import PROTOCOL_SEEDS, run_protocol
 
-        ESS_CONFIG = dict(chains=64, num_warmup=512, num_samples=512,
-                          seed=0, max_steps=64, n_pops=1)
-        ess = run_chees_bench(**ESS_CONFIG)
-        result["ess_per_sec"] = ess["value"]
+        ESS_CONFIG = dict(chains=64, num_warmup=512, num_samples=2048,
+                          max_steps=64, race=4, race_probe=128)
+        proto = run_protocol("chees", seeds=PROTOCOL_SEEDS, quiet=True,
+                             **ESS_CONFIG)
+        result["ess_per_sec"] = proto["ess_per_sec_median"]
+        result["ess_per_sec_e2e"] = proto["ess_per_sec_e2e_median"]
+        result["ess_per_seed"] = proto["per_seed"]
         result["ess_config"] = {
-            "sampler": "chees-hmc", "model": "hyperpriors",
-            "chains": ESS_CONFIG["chains"], "pops": ESS_CONFIG["n_pops"],
+            "sampler": "chees-hmc+race", "model": "hyperpriors",
+            "protocol": "median over seeds, split-chain ESS, "
+                        f"R-hat gate {proto['rhat_gate']}",
+            "seeds": list(PROTOCOL_SEEDS),
+            "n_converged": proto["n_converged"],
+            "chains": ESS_CONFIG["chains"], "pops": 1,
             "warmup": ESS_CONFIG["num_warmup"],
             "samples_per_chain": ESS_CONFIG["num_samples"],
-            "max_steps": ESS_CONFIG["max_steps"], "seed": ESS_CONFIG["seed"],
-            "min_ess": ess["min_ess"], "walltime_s": ess["walltime_s"],
+            "max_steps": ESS_CONFIG["max_steps"],
+            "race": ESS_CONFIG["race"],
+            "race_probe": ESS_CONFIG["race_probe"],
+            "ess_per_sec_min": proto["ess_per_sec_min"],
+            "ess_per_sec_max": proto["ess_per_sec_max"],
         }
     except Exception as e:  # noqa: BLE001 — the headline must still print
         result["ess_per_sec"] = None

@@ -95,13 +95,48 @@ def build_problem_ski(n: int, grid: int, num_probes: int, cg_iters: int,
     return logp, gp.n_theta
 
 
+def build_problem_iterative(n: int, num_probes: int, cg_iters: int,
+                            lanczos_iters: int, precond_rank: int):
+    """The same noisy-sine problem through the matrix-free CG/SLQ LML with
+    the pivoted-Cholesky PCG preconditioner (gp.core.lml_iterative) —
+    the O(n^2)-per-solve fallback the production recommendation names for
+    when the exact O(n^3) path ages out.  Probes FIXED (one key): smooth
+    deterministic surrogate, same contract as the SKI leg."""
+    from gogp_tpu import dists
+    from gogp_tpu.gp.core import GP, lml_iterative
+    from gogp_tpu.kernels import rbf, uniform_noise
+
+    gp = GP(ndim=1, simil=rbf.scaled(), noise=uniform_noise)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 100, (n, 1)), axis=0), jnp.float32)
+    y = jnp.asarray(
+        np.sin(np.asarray(x[:, 0]) / 3.0) + 0.1 * rng.normal(size=n), jnp.float32
+    )
+    from gogp_tpu.models.params import split_params
+
+    probe_key = jax.random.PRNGKey(999)
+
+    def logp(v):
+        gpv = split_params(gp, v)
+        ts = jnp.exp(gpv.theta_simil)
+        tn = jnp.exp(gpv.theta_noise)
+        return lml_iterative(
+            gp, ts, tn, x, y, probe_key,
+            num_probes=num_probes, cg_iters=cg_iters,
+            lanczos_iters=lanczos_iters, precond_rank=precond_rank,
+        ) + jnp.sum(dists.normal_logp(0.0, 1.0, v))
+
+    return logp, gp.n_theta
+
+
 def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         num_samples: int = 256, seed: int = 0, max_steps: int = 64,
         force_xla: bool = False, precision: str = "tensorfloat32",
         ski: bool = False, grid: int = 4096, num_probes: int = 16,
         cg_iters: int = 100, lanczos_iters: int = 32, chunk: int = CHUNK,
         init_spread: float = 0.05, init_step: float = 0.01,
-        init_traj: float = 0.1):
+        init_traj: float = 0.1, iterative: bool = False,
+        precond_rank: int = 32):
     from gogp_tpu.infer import adapt, diagnostics
     from gogp_tpu.infer.chees import (
         chees_init,
@@ -129,8 +164,14 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
             ctx.enter_context(jax.default_matmul_precision(precision))
         return ctx
 
+    if ski and iterative:
+        raise ValueError("--ski and --iterative are mutually exclusive")
     if ski:
         logp, dim = build_problem_ski(n, grid, num_probes, cg_iters, lanczos_iters)
+    elif iterative:
+        logp, dim = build_problem_iterative(
+            n, num_probes, cg_iters, lanczos_iters, precond_rank
+        )
     else:
         logp, dim = build_problem(n)
     # MLE warm start — the production workflow (and at n >= 1024 the
@@ -148,7 +189,7 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
     # is permanent.  MLE time is not part of the measured sampling walltime.
     # The SKI surrogate has no dense oracle at its n — its own (CG-robust)
     # gradient does the warm start.
-    if ski:
+    if ski or iterative:
         # chunked host loop: at n=65536 a 200-iteration single dispatch is
         # multi-minute and crashes the tunnel worker (observed round 4)
         step = jax.jit(
@@ -156,6 +197,19 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         )
         v_cur = jnp.zeros(dim, jnp.float32)
         for _ in range(10):
+            opt = step(v_cur)
+            v_cur = opt.x
+            np.asarray(v_cur)  # sync per chunk
+    elif n >= 8192:
+        # exact path at large n: chunk the oracle-precision Adam too — a
+        # single 300-iteration dispatch at n=16384 is multi-minute, the
+        # same tunnel-crash regime as the SKI note above
+        with linalg.force_xla():
+            step = jax.jit(
+                lambda v: mle.adam(jax.value_and_grad(logp), v, iters=20, rate=0.05)
+            )
+        v_cur = jnp.zeros(dim, jnp.float32)
+        for _ in range(15):
             opt = step(v_cur)
             v_cur = opt.x
             np.asarray(v_cur)  # sync per chunk
@@ -221,16 +275,25 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
 
     pos = np.concatenate(chunks, axis=1)  # (chains, S, dim)
     ess_per_param = np.asarray(diagnostics.ess(jnp.asarray(pos)))
-    min_ess = float(ess_per_param.min())
-    out_extra = (
-        {"grid": grid, "num_probes": num_probes, "cg_iters": cg_iters,
-         "lanczos_iters": lanczos_iters}
-        if ski else {}
-    )
+    min_ess, max_rhat, converged = diagnostics.gated_min_ess(jnp.asarray(pos))
+    out_extra = {}
+    if ski:
+        out_extra = {"grid": grid, "num_probes": num_probes,
+                     "cg_iters": cg_iters, "lanczos_iters": lanczos_iters}
+    elif iterative:
+        out_extra = {"num_probes": num_probes, "cg_iters": cg_iters,
+                     "lanczos_iters": lanczos_iters,
+                     "precond_rank": precond_rank}
+    variant = "_ski" if ski else ("_pcg" if iterative else "")
     return {
-        "metric": f"large_n_bayes_chees{'_ski' if ski else ''}_n{n}",
+        "metric": f"large_n_bayes_chees{variant}_n{n}",
         **out_extra,
-        "value": round(min_ess / walltime, 2),
+        # R-hat gate (VERDICT r4 #4): a mixing-collapsed run reports null
+        "value": round(min_ess / walltime, 2) if converged else None,
+        **({} if converged else
+           {"value_reason": f"max split-R-hat {max_rhat:.4f} > 1.01"}),
+        "max_rhat": round(max_rhat, 4),
+        "converged": converged,
         "unit": "ESS/s",
         "n": n,
         "min_ess": round(min_ess, 1),
@@ -251,7 +314,9 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         # a stuck/NaN'd leg reports walltime but no valid chain
         "finite_frac": round(float(np.mean(np.isfinite(lp_chunks[-1]))), 3),
         "precision": precision,
-        "dispatch": "ski" if ski else ("xla" if force_xla else "pallas"),
+        "dispatch": "ski" if ski else (
+            "pcg" if iterative else ("xla" if force_xla else "pallas")
+        ),
         "sampler": "chees-hmc",
         "platform": jax.devices()[0].platform,
     }
@@ -288,13 +353,19 @@ def main():
                     help="chain init sigma around the MLE (scale ~1/sqrt(n))")
     ap.add_argument("--init-step", type=float, default=0.01)
     ap.add_argument("--init-traj", type=float, default=0.1)
+    ap.add_argument("--iterative", action="store_true",
+                    help="sample the matrix-free CG/SLQ + pivoted-PCG LML "
+                    "(fixed probes) — the exact path's O(n^2) fallback")
+    ap.add_argument("--precond-rank", type=int, default=32,
+                    help="with --iterative: pivoted-Cholesky PCG rank")
     args = ap.parse_args()
     out = run(args.n, args.chains, args.warmup, args.samples, args.seed,
               args.max_steps, args.force_xla, args.precision,
               ski=args.ski, grid=args.grid, num_probes=args.probes,
               cg_iters=args.cg_iters, lanczos_iters=args.lanczos,
               chunk=args.chunk, init_spread=args.init_spread,
-              init_step=args.init_step, init_traj=args.init_traj)
+              init_step=args.init_step, init_traj=args.init_traj,
+              iterative=args.iterative, precond_rank=args.precond_rank)
     # leapfrog steps/draw ~= traj_length / step_size on average halved by
     # the halton jitter; report realized gradient-evaluation throughput
     steps_per_draw = 0.5 * out["traj_length"] / max(out["step_size"], 1e-12)

@@ -391,6 +391,127 @@ def finalize_chees_warmup(state: ChEESState) -> ChEESState:
     return state._replace(step_size=jnp.exp(state.da.log_step_avg))
 
 
+def race_candidates(
+    state: ChEESState, n: int, max_num_steps: int, lo_steps: float = 4.0
+) -> Array:
+    """(n,) candidate log-trajectory lengths: the adapted draw plus n-1
+    log-spaced points spanning [lo_steps, max_num_steps] leapfrog steps at
+    the frozen step size — an absolute bracket, deliberately NOT centered
+    on the adapted draw (the draw itself is the noisy quantity being
+    hedged; STATUS r4 measured adapted trajectories 1.3-3.4 across seeds
+    for 7-80 ESS/s)."""
+    if n < 2:
+        raise ValueError(f"racing needs >= 2 candidates (got {n})")
+    eps = state.step_size
+    lo = jnp.log(lo_steps * eps)
+    hi = jnp.log(max_num_steps * eps)
+    frac = jnp.arange(n - 1, dtype=eps.dtype) / jnp.maximum(n - 2, 1)
+    grid = lo + (hi - lo) * frac
+    return jnp.concatenate([state.log_traj[None], grid])
+
+
+def chees_race(
+    logp: LogDensity,
+    state: ChEESState,
+    n_candidates: int = 4,
+    probe: int = 128,
+    max_num_steps: int = 256,
+    free: Array | None = None,
+    lo_steps: float = 4.0,
+    candidates: Array | None = None,
+) -> tuple[ChEESState, dict]:
+    """Post-warmup trajectory-length racing: selection instead of smoothing.
+
+    ChEES's ESJD-proxy adaptation is noisy on multimodal GP posteriors —
+    the adapted trajectory varies ~3x across seeds for ~10x ESS/s swings,
+    and EMA-smoothing the adaptation path measurably REGRESSES (STATUS
+    r4).  This exploits the other r4 finding — the chip is MIXING-limited
+    with idle throughput (samples/s keeps scaling past 256 chains) — to
+    fix the variance by racing: replicate the warmed population once per
+    candidate trajectory length, run all K populations lockstep for a
+    short probe phase, score each by estimated ESS per leapfrog step
+    (walltime on a lockstep chip is proportional to gradient evaluations),
+    and hand the sampling budget to the argmax.
+
+    The probe populations use the frozen kernel (no adaptation), distinct
+    fold_in rngs, and identical halton jitter indices, so the per-
+    candidate leapfrog cost is computed exactly from the shared jitter
+    sequence rather than measured.
+
+    Scoring: min over dims of (accept-realized ESJD_d / var_d), divided
+    by leapfrog cost.  NOT probe-ESS-per-cost: a short probe cannot see
+    autocorrelation beyond its own length, so probe-ESS saturates for
+    every slow candidate and the cost denominator then hands the race to
+    the cheapest (shortest) trajectory — measured on-chip: the 4-step
+    candidate won and the 2048-draw run failed the split-R-hat gate at
+    2.14.  Normalized ESJD is a one-transition statistic (no truncation
+    bias): the random-walk mixing time of the slowest coordinate is
+    ~ var_d / ESJD_d transitions, so ESJD_d/var_d/cost estimates slow-
+    coordinate crossings per gradient evaluation; it grows ~t^2 with
+    trajectory time until the coherence length, then flattens — the
+    argmax lands at the coherence length, which is the quantity ChEES's
+    own noisy adaptation was trying to find.  The winner's probe-end
+    state (probe extra transitions of mixing, gratis) seeds sampling.
+
+    Returns (winner state, info) with info carrying the candidate log-
+    trajectories, per-candidate normalized ESJD, probe min-ESS (for
+    diagnostics only), leapfrog costs and scores.
+    """
+    if candidates is None:
+        candidates = race_candidates(state, n_candidates, max_num_steps, lo_steps)
+    candidates = jnp.asarray(candidates, state.log_traj.dtype)
+    k = candidates.shape[0]
+
+    def arm(log_t, i):
+        s = state._replace(log_traj=log_t, rng=jax.random.fold_in(state.rng, i))
+        s, (pos, _, _) = chees_sample_chunk(
+            logp, s, probe, max_num_steps, free
+        )
+        return s, pos  # pos: (probe, chains, dim)
+
+    raced, pos = jax.vmap(arm)(candidates, jnp.arange(k))
+
+    # exact per-candidate leapfrog cost from the shared halton sequence
+    # (every arm runs iteration indices state.step + 0..probe-1)
+    u = jax.vmap(_halton2)(state.step + jnp.arange(probe)).astype(
+        state.step_size.dtype
+    )  # (probe,)
+    t_real = jnp.maximum(u[None, :] * jnp.exp(candidates)[:, None], state.step_size)
+    n_steps = jnp.clip(
+        jnp.ceil(t_real / state.step_size).astype(jnp.int32), 1, max_num_steps
+    )
+    cost = jnp.sum(n_steps, axis=1).astype(pos.dtype)  # (k,)
+
+    from gogp_tpu.infer import diagnostics
+
+    # realized ESJD per dim (rejections contribute zero jumps naturally),
+    # normalized by each dim's posterior variance estimated from the probe
+    # draws pooled across all arms (shared, well-estimated, and candidate-
+    # independent so it cannot bias the argmax)
+    jumps = jnp.diff(pos, axis=1)  # (k, probe-1, chains, dim)
+    esjd = jnp.mean(jumps * jumps, axis=(1, 2))  # (k, dim)
+    var_d = jnp.var(pos.reshape(-1, pos.shape[-1]), axis=0) + 1e-12  # (dim,)
+    norm_esjd = jnp.min(esjd / var_d[None, :], axis=1)  # (k,) slowest dim
+    score = norm_esjd / cost
+
+    # probe min-ESS per candidate (diagnostics only — probe-length ESS
+    # saturates for slow candidates and must not drive the argmax)
+    probe_ess = jax.vmap(
+        lambda p: jnp.min(diagnostics.ess(jnp.moveaxis(p, 0, 1)))
+    )(pos)
+    win = jnp.argmax(score)
+    state_win = jax.tree.map(lambda a: jnp.take(a, win, axis=0), raced)
+    info = {
+        "candidates_log_traj": candidates,
+        "norm_esjd": norm_esjd,
+        "probe_min_ess": probe_ess,
+        "leapfrog_cost": cost,
+        "score": score,
+        "winner": win,
+    }
+    return state_win, info
+
+
 def run_chees_pops(
     logp: LogDensity,
     positions0: Array,
@@ -485,12 +606,20 @@ def run_chees(
     free: Array | None = None,
     axis_name: str | tuple | None = None,
     chain_offset: Array | int = 0,
+    race: int = 0,
+    race_probe: int = 128,
 ) -> Samples:
     """Warmup + sampling as two compiled scans over the whole population.
 
     ``positions0``: (chains, dim) — the chain axis lives inside the state
     (adaptation couples chains), so do NOT vmap this function over chains.
     Returned positions are (num_samples, chains, dim).
+
+    ``race > 0`` inserts a :func:`chees_race` selection phase between
+    warmup and sampling: ``race`` candidate trajectory lengths probed for
+    ``race_probe`` transitions each, sampling budget to the argmax (only
+    on the single-device path — racing replicates the population, which a
+    sharded caller should lay out itself).
     """
     state = chees_init(logp, positions0, rng, init_step_size, init_traj_length, free)
     sched = adapt.build_schedule(num_warmup)
@@ -508,6 +637,12 @@ def run_chees(
             chain_offset,
         )
         state = finalize_chees_warmup(state)
+    if race > 0:
+        if axis_name is not None:
+            raise ValueError("race is a single-device feature; shard the race axis explicitly")
+        state, _ = chees_race(
+            logp, state, race, race_probe, max_num_steps, free
+        )
     state, (positions, logps, accepts) = chees_sample_chunk(
         logp, state, num_samples, max_num_steps, free, axis_name, chain_offset
     )

@@ -645,12 +645,104 @@ def blocked_cholesky_invs(
     return _stepwise_cholesky_invs(K, block, precision)
 
 
+_SUPER_PANEL = 0  # 0 = off; >=2 = super-panel width in blocks (A/B hook)
+
+
+@contextlib.contextmanager
+def super_panels(sf: int = 2):
+    """Route the stepwise driver through the two-level super-panel
+    schedule: diagonal super-tiles of ``sf * block`` factored via the
+    existing ``block``-sized Pallas tile kernels, then ONE sf-wide panel
+    TRSM and ONE sf-wide trailing SYRK per super-step.  Halves the number
+    of sequential HBM-bound trailing updates (the 47%-of-headline
+    dependency chain, DESIGN.md 9b) and doubles their contraction depth
+    (fewer HBM reads of A per FLOP) without any new Mosaic kernel — the
+    known 512-wide tile-kernel compile blowup never enters."""
+    global _SUPER_PANEL
+    prev, _SUPER_PANEL = _SUPER_PANEL, sf
+    try:
+        yield
+    finally:
+        _SUPER_PANEL = prev
+
+
+def _stepwise_cholesky_invs_super(
+    K: Array, block: int, precision: str | None = None, sf: int = 2
+) -> tuple[Array, Array]:
+    """Two-level right-looking schedule (see :func:`super_panels`).
+
+    Contract identical to :func:`_stepwise_cholesky_invs`: returns
+    ``(L, invs)`` with invs the (nb, block, block) diagonal-tile inverse
+    stack — the super-tile's inner blocks contribute their own
+    block-sized inverses, so every downstream consumer (streaming TRSV,
+    fused lml VJP) is unchanged.
+    """
+    n = K.shape[-1]
+    sb = block * sf
+    if n % sb != 0:
+        raise ValueError(f"n={n} must be a multiple of super-panel {sb}")
+    nbs = n // sb
+    dtype = K.dtype
+    use_fused = _INTERPRET or _on_tpu()
+
+    def dg(a, b_):
+        return jax.lax.dot_general(
+            a, b_, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype, precision=precision,
+        )
+
+    def tile(d):
+        if use_fused:
+            return pallas_cholesky_inv_tile(d, precision)
+        Lkk = pallas_cholesky_tile(d, precision)
+        return Lkk, _inv_lower(Lkk, precision)
+
+    L = jnp.zeros_like(K)
+    A = K
+    invs = []
+    for ks in range(nbs):
+        c0, c1 = ks * sb, (ks + 1) * sb
+        Din = A[c0:c1, c0:c1]
+        # inner factorization of the sb x sb diagonal via block-sized tiles
+        Ls = jnp.zeros((sb, sb), dtype)
+        Vs = []
+        for j in range(sf):
+            b0, b1 = j * block, (j + 1) * block
+            Ljj, Vj = tile(Din[b0:b1, b0:b1])
+            Vs.append(Vj)
+            Ls = Ls.at[b0:b1, b0:b1].set(Ljj)
+            if b1 < sb:
+                pan = dg(Din[b1:, b0:b1], Vj)
+                Ls = Ls.at[b1:, b0:b1].set(pan)
+                Din = Din.at[b1:, b1:].add(-dg(pan, pan))
+        invs.extend(Vs)
+        L = L.at[c0:c1, c0:c1].set(Ls)
+        if c1 == n:
+            break
+        # sf-wide panel TRSM by forward block substitution against Ls
+        R = A[c1:, c0:c1]
+        X = []
+        for j in range(sf):
+            b0, b1 = j * block, (j + 1) * block
+            Rj = R[:, b0:b1]
+            for i, Xi in enumerate(X):
+                Rj = Rj - dg(Xi, Ls[b0:b1, i * block : (i + 1) * block])
+            X.append(dg(Rj, Vs[j]))
+        panel = jnp.concatenate(X, axis=1)  # (n - c1, sb)
+        L = L.at[c1:, c0:c1].set(panel)
+        # ONE sb-deep trailing SYRK per super-step (the schedule's point)
+        A = A.at[c1:, c1:].add(-dg(panel, panel))
+    return L, jnp.stack(invs)
+
+
 def _stepwise_cholesky_invs(
     K: Array, block: int, precision: str | None = None
 ) -> tuple[Array, Array]:
     """The XLA-level right-looking block loop (see
     :func:`blocked_cholesky_invs` for the contract)."""
     n = K.shape[-1]
+    if _SUPER_PANEL >= 2 and n % (block * _SUPER_PANEL) == 0 and n > block * _SUPER_PANEL:
+        return _stepwise_cholesky_invs_super(K, block, precision, _SUPER_PANEL)
     nb = n // block
     dtype = K.dtype
     use_fused = _INTERPRET or _on_tpu()

@@ -195,3 +195,77 @@ class TestChEES:
         assert np.isfinite(np.asarray(res.positions)).all()
         # and it still recovered into a working sampler
         assert float(jnp.mean(res.accept_probs)) > 0.3
+
+
+class TestChEESRace:
+    """Post-warmup trajectory racing (chees_race): selection, not smoothing
+    — the r4-measured fix direction for ChEES's adaptation-draw variance
+    (EMA smoothing regressed; STATUS r4)."""
+
+    def _warm_state(self, seed=0, chains=32, warmup=300, max_steps=64):
+        from gogp_tpu.infer import adapt
+        from gogp_tpu.infer.chees import (
+            chees_init,
+            chees_warm_chunk,
+            finalize_chees_warmup,
+        )
+
+        x0 = 0.5 * jax.random.normal(jax.random.PRNGKey(seed + 1), (chains, 2))
+        state = chees_init(mvn_logp, x0, jax.random.PRNGKey(seed), 0.1, 1.0)
+        sched = adapt.build_schedule(warmup)
+        state = jax.jit(
+            lambda s: chees_warm_chunk(
+                mvn_logp, s, sched.update_mass, sched.window_end, max_steps
+            )
+        )(state)
+        return finalize_chees_warmup(state)
+
+    def test_race_picks_max_score_and_advances_state(self):
+        from gogp_tpu.infer.chees import chees_race
+
+        state = self._warm_state()
+        win, info = jax.jit(
+            lambda s: chees_race(mvn_logp, s, 4, 64, 64)
+        )(state)
+        score = np.asarray(info["score"])
+        k = int(info["winner"])
+        assert k == int(np.argmax(score))
+        assert float(win.log_traj) == float(info["candidates_log_traj"][k])
+        # probe transitions actually ran
+        assert int(win.step) == int(state.step) + 64
+        # cost is the exact shared-halton leapfrog-step sum: positive,
+        # monotone in trajectory length among the grid candidates
+        cost = np.asarray(info["leapfrog_cost"])
+        grid = np.asarray(info["candidates_log_traj"])[1:]
+        assert np.all(cost > 0)
+        assert np.all(np.diff(cost[1:][np.argsort(grid)]) >= 0)
+
+    def test_race_dethrones_pathological_trajectory(self):
+        # force an absurdly long adapted trajectory: racing must hand the
+        # budget to a cheaper candidate (scores are ESS per leapfrog step)
+        from gogp_tpu.infer.chees import chees_race
+
+        state = self._warm_state()
+        state = state._replace(
+            log_traj=jnp.log(63.0 * state.step_size)
+        )
+        win, info = chees_race(mvn_logp, state, 4, 64, 64)
+        assert int(info["winner"]) != 0
+        assert float(jnp.exp(win.log_traj)) < 0.9 * float(
+            jnp.exp(state.log_traj)
+        )
+
+    def test_run_chees_with_race_moments(self):
+        res = infer.run_chees(
+            mvn_logp,
+            0.5 * jax.random.normal(jax.random.PRNGKey(3), (32, 2)),
+            jax.random.PRNGKey(4),
+            num_warmup=300,
+            num_samples=800,
+            max_num_steps=64,
+            race=4,
+            race_probe=64,
+        )
+        s = np.asarray(res.positions).reshape(-1, 2)
+        assert np.allclose(s.mean(axis=0), MEAN, atol=0.1)
+        assert np.allclose(np.cov(s.T), COV, atol=0.3)

@@ -40,19 +40,28 @@ def gated_summary(pos, walltime: float, warm_total: float) -> dict:
     """Convergence-gated ESS/s fields shared by every engine runner.
 
     ``pos``: (chains, draws, dim) retained draws.  The reported ESS is the
-    min split-chain ESS across parameters (infer.diagnostics); if any
-    parameter's split-R-hat exceeds RHAT_GATE the headline ``value`` is
-    None with a reason — a mixing-collapsed run must not print a number
-    (VERDICT r4).  ``ess_per_sec_e2e`` divides by warmup + racing +
-    sampling walltime (compile excluded: it is persistent-cached across
-    runs and reported separately).
+    min rank-normalized ("bulk", Stan-standard) split-chain ESS across
+    parameters; the gate is max bulk split-R-hat <= RHAT_GATE (Vehtari et
+    al. 2021 — rank normalization keeps the diagnostics measuring MIXING
+    on heavy-tailed marginals like the noise theta's low-noise funnel
+    tail, where raw-scale R-hat measures tail heaviness).  Raw-scale
+    min-ESS/max-R-hat are carried alongside for the honest side-by-side.
+    If the gate fails the headline ``value`` is None with a reason — a
+    mixing-collapsed run must not print a number (VERDICT r4).
+    ``ess_per_sec_e2e`` divides by warmup + racing + sampling walltime
+    (compile excluded: it is persistent-cached across runs and reported
+    separately).
     """
     from gogp_tpu.infer import diagnostics
 
-    min_ess, max_rhat, ok = diagnostics.gated_min_ess(jnp.asarray(pos))
+    d = diagnostics.diagnose(jnp.asarray(pos))
+    min_ess, max_rhat = d["min_ess_bulk"], d["max_rhat_bulk"]
+    ok = max_rhat <= RHAT_GATE
     out = {
         "min_ess": round(min_ess, 1),
         "max_rhat": round(max_rhat, 4),
+        "min_ess_raw": round(d["min_ess_raw"], 1),
+        "max_rhat_raw": round(d["max_rhat_raw"], 4),
         "converged": ok,
         "walltime_s": round(walltime, 3),
         "warm_total_s": round(warm_total, 3),

@@ -93,16 +93,78 @@ def split_rhat(samples: Array) -> Array:
     return jnp.sqrt(var_plus / w)
 
 
+def rank_normalize(samples: Array) -> Array:
+    """Rank-normalize (chains, draws[, dim]) draws per parameter
+    (Vehtari et al. 2021 §4.1): pooled fractional ranks mapped through the
+    normal quantile function, z = Phi^-1((r - 3/8) / (S + 1/4)).
+
+    Rank normalization is what makes split-R-hat/ESS well-behaved on
+    heavy-tailed marginals (e.g. a GP noise theta's low-noise funnel
+    tail): on the raw scale, rare tail excursions dominate the
+    within/between variance ratio and the diagnostics measure tail
+    heaviness instead of mixing.  Stan's reported ESS/R-hat are the
+    rank-normalized ("bulk") forms.
+    """
+    x = jnp.asarray(samples)
+    if x.ndim == 3:
+        return jax.vmap(rank_normalize, in_axes=2, out_axes=2)(x)
+    m, n = x.shape
+    flat = x.reshape(-1)
+    s = flat.shape[0]
+    ranks = jnp.empty_like(flat).at[jnp.argsort(flat)].set(
+        jnp.arange(1, s + 1, dtype=x.dtype)
+    )
+    from jax.scipy.special import ndtri
+
+    z = ndtri((ranks - 0.375) / (s + 0.25))
+    return z.reshape(m, n)
+
+
+def bulk_ess(samples: Array) -> Array:
+    """Rank-normalized split-chain ESS (Stan's "bulk ESS")."""
+    return ess(rank_normalize(samples))
+
+
+def bulk_rhat(samples: Array) -> Array:
+    """Rank-normalized split-R-hat (Stan's reported R-hat)."""
+    return split_rhat(rank_normalize(samples))
+
+
 def gated_min_ess(positions, rhat_threshold: float = 1.01):
     """Convergence-gated summary of (chains, draws, dim) posterior draws.
 
-    Returns (min_ess, max_rhat, ok): the minimum split-chain ESS across
-    parameters, the maximum split-R-hat, and whether every parameter's
-    R-hat clears ``rhat_threshold``.  Benchmarks must not report an ESS/s
-    from a non-converged run — a mixing-collapsed sampler still produces a
-    number otherwise (VERDICT r4 weakness #3).
+    Returns (min_bulk_ess, max_bulk_rhat, ok): the minimum rank-normalized
+    split-chain ESS across parameters, the maximum rank-normalized
+    split-R-hat, and whether every parameter clears ``rhat_threshold``
+    (the Vehtari et al. 2021 criterion, as in Stan).  Benchmarks must not
+    report an ESS/s from a non-converged run — a mixing-collapsed sampler
+    still produces a number otherwise (VERDICT r4 weakness #3).  Raw-scale
+    variants are available via :func:`diagnose` for side-by-side
+    reporting.
     """
-    e = ess(positions)
-    r = split_rhat(positions)
+    e = bulk_ess(positions)
+    r = bulk_rhat(positions)
     max_rhat = float(jnp.max(r))
     return float(jnp.min(e)), max_rhat, bool(max_rhat <= rhat_threshold)
+
+
+@jax.jit
+def _diagnose_jit(x):
+    z = rank_normalize(x)
+    return (jnp.min(ess(x)), jnp.max(split_rhat(x)),
+            jnp.min(ess(z)), jnp.max(split_rhat(z)))
+
+
+def diagnose(positions) -> dict:
+    """Raw + rank-normalized split diagnostics of (chains, draws, dim).
+
+    One jitted program — through the remote-TPU tunnel, eager jnp here
+    would cost one round trip per FFT/argsort op.
+    """
+    er, rr, eb, rb = _diagnose_jit(jnp.asarray(positions))
+    return {
+        "min_ess_raw": float(er),
+        "max_rhat_raw": float(rr),
+        "min_ess_bulk": float(eb),
+        "max_rhat_bulk": float(rb),
+    }

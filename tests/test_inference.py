@@ -350,9 +350,9 @@ class TestDiagnostics:
         assert e_split < 20.0
 
     def test_gated_min_ess_stuck_chain(self):
-        # a deliberately stuck chain must trip the R-hat gate so
-        # benchmarks null the ESS/s instead of reporting a number
-        # (VERDICT r4 weakness #3)
+        # a deliberately stuck chain must trip the (rank-normalized)
+        # R-hat gate so benchmarks null the ESS/s instead of reporting a
+        # number (VERDICT r4 weakness #3)
         good = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (4, 500, 2)))
         me, mr, ok = diagnostics.gated_min_ess(jnp.asarray(good))
         assert ok and mr < 1.01 and me > 500
@@ -360,3 +360,24 @@ class TestDiagnostics:
         stuck[0, :, 0] = 5.0
         me, mr, ok = diagnostics.gated_min_ess(jnp.asarray(stuck))
         assert not ok and mr > 1.01
+
+    def test_bulk_stats_monotone_invariant(self):
+        # rank normalization makes bulk ESS/R-hat exactly invariant under
+        # strictly monotone transforms — the property that keeps the gate
+        # measuring MIXING (not tail heaviness) on heavy-tailed marginals
+        x = jax.random.normal(jax.random.PRNGKey(5), (4, 400))
+        r1 = float(diagnostics.bulk_rhat(x))
+        r2 = float(diagnostics.bulk_rhat(jnp.exp(x)))
+        e1 = float(diagnostics.bulk_ess(x))
+        e2 = float(diagnostics.bulk_ess(jnp.exp(x)))
+        np.testing.assert_allclose(r1, r2, rtol=1e-6)
+        np.testing.assert_allclose(e1, e2, rtol=1e-5)
+        # raw-scale ESS of the exp'd (lognormal) draws differs
+        assert abs(float(diagnostics.ess(jnp.exp(x))) - e2) > 1.0
+
+    def test_diagnose_keys(self):
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 300, 2))
+        d = diagnostics.diagnose(x)
+        assert set(d) == {"min_ess_raw", "max_rhat_raw",
+                          "min_ess_bulk", "max_rhat_bulk"}
+        assert d["max_rhat_bulk"] < 1.02

@@ -73,7 +73,7 @@ def gated_summary(pos, walltime: float, warm_total: float) -> dict:
         out["value"] = None
         out["ess_per_sec_e2e"] = None
         out["value_reason"] = (
-            f"max split-R-hat {max_rhat:.4f} > {RHAT_GATE}: not converged"
+            f"max bulk split-R-hat {max_rhat:.4f} > {RHAT_GATE}: not converged"
         )
     return out
 
@@ -674,26 +674,42 @@ def run_protocol(engine: str = "chees", seeds=PROTOCOL_SEEDS, chains: int = 64,
     pinned seed measures the luck of one adaptation draw, not the engine
     (the r4 number was the best draw of a 2x4 sweep).
     """
+    if engine not in ("chees", "ghmc", "nuts", "pt-chees"):
+        raise ValueError(f"unknown engine {engine!r}")
     per_seed = []
     for s in seeds:
-        if engine == "chees":
-            out = run_chees_bench(chains, num_warmup, num_samples, s,
-                                  max_steps, 1, race, race_probe)
-        elif engine == "ghmc":
-            out = run_ghmc_bench(chains, ghmc_warmup, ghmc_samples, s, chunk)
-        elif engine == "nuts":
-            out = run(chains, num_warmup, num_samples, s)
-        elif engine == "pt-chees":
-            out = run_pt_chees_bench(max(chains // 4, 4), 8, num_warmup,
-                                     num_samples, s, max_steps=max_steps)
-        else:
-            raise ValueError(f"unknown engine {engine!r}")
+        try:
+            if engine == "chees":
+                out = run_chees_bench(chains, num_warmup, num_samples, s,
+                                      max_steps, 1, race, race_probe)
+            elif engine == "ghmc":
+                out = run_ghmc_bench(chains, ghmc_warmup, ghmc_samples, s, chunk)
+            elif engine == "nuts":
+                out = run(chains, num_warmup, num_samples, s)
+            else:
+                out = run_pt_chees_bench(max(chains // 4, 4), 8, num_warmup,
+                                         num_samples, s, max_steps=max_steps)
+        except Exception as e:  # noqa: BLE001 — one crashed seed (tunnel
+            # hiccup, worker restart) must not void the whole artifact; it
+            # scores 0 like a non-converged seed, with the error recorded
+            row = {
+                "seed": s, "ess_per_sec": None, "ess_per_sec_e2e": None,
+                "min_ess": None, "max_rhat": None, "walltime_s": None,
+                "warm_total_s": None,
+                "reason": f"{type(e).__name__}: {e}",
+            }
+            per_seed.append(row)
+            if not quiet:
+                print(json.dumps({"protocol_seed": row}), flush=True)
+            continue
         row = {
             "seed": s,
             "ess_per_sec": out["value"],
             "ess_per_sec_e2e": out["ess_per_sec_e2e"],
             "min_ess": out["min_ess"],
             "max_rhat": out["max_rhat"],
+            "min_ess_raw": out.get("min_ess_raw"),
+            "max_rhat_raw": out.get("max_rhat_raw"),
             "walltime_s": out["walltime_s"],
             "warm_total_s": out["warm_total_s"],
         }

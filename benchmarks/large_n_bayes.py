@@ -289,9 +289,10 @@ def run(n: int = 1024, chains: int = 8, num_warmup: int = 256,
         "metric": f"large_n_bayes_chees{variant}_n{n}",
         **out_extra,
         # R-hat gate (VERDICT r4 #4): a mixing-collapsed run reports null
+        # (rank-normalized split form, diagnostics.gated_min_ess)
         "value": round(min_ess / walltime, 2) if converged else None,
         **({} if converged else
-           {"value_reason": f"max split-R-hat {max_rhat:.4f} > 1.01"}),
+           {"value_reason": f"max bulk split-R-hat {max_rhat:.4f} > 1.01"}),
         "max_rhat": round(max_rhat, 4),
         "converged": converged,
         "unit": "ESS/s",

@@ -37,6 +37,26 @@ class TestBlocked:
         with pytest.raises(ValueError):
             cp.blocked_cholesky(spd(100), 64)
 
+    @pytest.mark.parametrize("n,block,sf", [(128, 16, 2), (256, 32, 4)])
+    def test_super_panel_matches_stepwise(self, n, block, sf):
+        # two-level super-panel schedule (VERDICT r4 #7): same L, same
+        # per-block inverse stack as the shipped stepwise driver
+        K = spd(n, seed=3)
+        with cp.force_interpret():
+            L0, inv0 = cp.blocked_cholesky_invs(K, block)
+            with cp.super_panels(sf):
+                L1, inv1 = cp.blocked_cholesky_invs(K, block)
+        assert np.allclose(np.asarray(L0), np.asarray(L1), atol=1e-8)
+        assert np.allclose(np.asarray(inv0), np.asarray(inv1), atol=1e-8)
+        assert inv1.shape == (n // block, block, block)
+
+    def test_super_panel_indivisible_falls_back(self):
+        # n not divisible by sf*block: the stepwise schedule runs instead
+        K = spd(96, seed=4)
+        with cp.force_interpret(), cp.super_panels(4):
+            L = np.asarray(cp.blocked_cholesky(K, 32))
+        assert np.allclose(L, np.asarray(jnp.linalg.cholesky(K)), atol=1e-8)
+
 
 class TestTrsm:
     def test_lower(self):

@@ -73,3 +73,20 @@ def test_gated_summary_fields():
     stuck[0, :, 0] = 7.7
     out2 = ess_nuts.gated_summary(stuck, walltime=2.0, warm_total=1.0)
     assert out2["value"] is None and "value_reason" in out2
+
+
+def test_protocol_seed_crash_scores_zero(monkeypatch):
+    def fake_chees(chains, warmup, samples, seed, max_steps, pops, race, probe):
+        if seed == 1:
+            raise RuntimeError("TPU worker restarted")
+        return _stub_out(10.0 + seed, 8.0, 1.004)
+
+    monkeypatch.setattr(ess_nuts, "run_chees_bench", fake_chees)
+    out = ess_nuts.run_protocol("chees", seeds=(0, 1, 2), quiet=True)
+    rows = {r["seed"]: r for r in out["per_seed"]}
+    assert rows[1]["ess_per_sec"] is None
+    assert "RuntimeError" in rows[1]["reason"]
+    # values [10, 0, 12] -> median 10
+    assert out["ess_per_sec_median"] == 10.0
+    assert out["n_converged"] == 2
+    json.dumps(out)

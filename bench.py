@@ -203,27 +203,38 @@ def main():
     # mixing-limited chip.  ess_per_sec == the sampling-walltime median;
     # the e2e variant includes warmup + race walltime in the denominator.
     try:
-        from benchmarks.ess_nuts import PROTOCOL_SEEDS, run_protocol
+        from benchmarks.ess_nuts import (
+            PROTOCOL_SEEDS,
+            qualify_engine,
+            run_protocol,
+        )
 
-        ESS_CONFIG = dict(chains=64, num_warmup=512, num_samples=2048,
-                          max_steps=64, race=4, race_probe=128)
-        proto = run_protocol("chees", seeds=PROTOCOL_SEEDS, quiet=True,
-                             **ESS_CONFIG)
+        # Stage 1 — qualifier: one gated seed-0 run per engine family
+        # (ChEES+race / GHMC / PT-ChEES); the winner is chosen by
+        # measurement inside this very artifact (VERDICT r4 #3), ranked
+        # converged-first then gated ESS/s then closeness to mixing.
+        qual = qualify_engine(quiet=True)
+        winner = dict(qual["winner"])
+        engine = winner.pop("engine")
+        if not qual["winner_converged"]:
+            # no engine passed the gate at the qualifier budget: give the
+            # protocol runs double the draws so the gate has a chance
+            for k in ("num_samples", "ghmc_samples"):
+                if k in winner:
+                    winner[k] = 2 * winner[k]
+        proto = run_protocol(engine, seeds=PROTOCOL_SEEDS, quiet=True,
+                             **winner)
         result["ess_per_sec"] = proto["ess_per_sec_median"]
         result["ess_per_sec_e2e"] = proto["ess_per_sec_e2e_median"]
         result["ess_per_seed"] = proto["per_seed"]
         result["ess_config"] = {
-            "sampler": "chees-hmc+race", "model": "hyperpriors",
-            "protocol": "median over seeds, split-chain ESS, "
-                        f"R-hat gate {proto['rhat_gate']}",
+            "engine": engine, "model": "hyperpriors",
+            "protocol": "median over seeds, rank-normalized split-chain "
+                        f"ESS, bulk R-hat gate {proto['rhat_gate']}",
             "seeds": list(PROTOCOL_SEEDS),
             "n_converged": proto["n_converged"],
-            "chains": ESS_CONFIG["chains"], "pops": 1,
-            "warmup": ESS_CONFIG["num_warmup"],
-            "samples_per_chain": ESS_CONFIG["num_samples"],
-            "max_steps": ESS_CONFIG["max_steps"],
-            "race": ESS_CONFIG["race"],
-            "race_probe": ESS_CONFIG["race_probe"],
+            "engine_config": winner,
+            "qualifier": qual["rows"],
             "ess_per_sec_min": proto["ess_per_sec_min"],
             "ess_per_sec_max": proto["ess_per_sec_max"],
         }

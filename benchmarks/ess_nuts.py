@@ -657,6 +657,72 @@ def run(chains: int = 64, num_warmup: int = 512, num_samples: int = 512, seed: i
 
 PROTOCOL_SEEDS = (0, 1, 2, 3, 4)
 
+# Qualifier configs: one representative budget per engine family.  GHMC's
+# per-transition cost is one gradient, so its draw budget is large for the
+# same walltime; PT pays the ladder but crosses the noise-theta funnel
+# (STATUS r5 engine recon).
+QUALIFIER_CONFIGS = (
+    {"engine": "chees", "chains": 64, "num_warmup": 512,
+     "num_samples": 2048, "max_steps": 64, "race": 4, "race_probe": 128},
+    {"engine": "ghmc", "chains": 64, "ghmc_warmup": 2048,
+     "ghmc_samples": 32768, "chunk": 4096},
+    {"engine": "pt-chees", "chains": 64, "num_warmup": 512,
+     "num_samples": 2048, "max_steps": 64},
+)
+
+
+def qualify_engine(configs=QUALIFIER_CONFIGS, seed: int = 0,
+                   quiet: bool = True) -> dict:
+    """One gated seed-``seed`` run per engine config; rank them.
+
+    Order: any converged run beats any non-converged; among converged,
+    higher gated ESS/s wins; among non-converged, lower max bulk R-hat
+    (closer to mixing) wins.  Returns {"winner": config, "rows": [...]}
+    — bench.py runs the full seed-median protocol on the winner, so the
+    recorded engine is chosen by measurement in the artifact itself, not
+    by a hardcoded pick (VERDICT r4 #3).
+    """
+    rows = []
+    for cfg in configs:
+        cfg = dict(cfg)
+        engine = cfg.pop("engine")
+        try:
+            out = run_protocol(engine, seeds=(seed,), quiet=True, **cfg)
+            row_src = out["per_seed"][0]
+            row = {"engine": engine, "config": cfg,
+                   "ess_per_sec": row_src["ess_per_sec"],
+                   "max_rhat": row_src["max_rhat"],
+                   "min_ess": row_src["min_ess"],
+                   "walltime_s": row_src["walltime_s"]}
+            if row_src.get("reason"):
+                row["reason"] = row_src["reason"]
+        except Exception as e:  # noqa: BLE001
+            row = {"engine": engine, "config": cfg, "ess_per_sec": None,
+                   "max_rhat": None, "min_ess": None, "walltime_s": None,
+                   "reason": f"{type(e).__name__}: {e}"}
+        rows.append(row)
+        if not quiet:
+            print(json.dumps({"qualifier": row}), flush=True)
+
+    def key(r):
+        converged = r["ess_per_sec"] is not None
+        return (
+            0 if converged else 1,
+            -(r["ess_per_sec"] or 0.0),
+            r["max_rhat"] if r["max_rhat"] is not None else float("inf"),
+        )
+
+    ranked = sorted(rows, key=key)
+    best = ranked[0]
+    winner = None
+    for cfg in configs:
+        c = dict(cfg)
+        if c.pop("engine") == best["engine"] and c == best["config"]:
+            winner = dict(cfg)
+            break
+    return {"winner": winner, "rows": rows,
+            "winner_converged": best["ess_per_sec"] is not None}
+
 
 def run_protocol(engine: str = "chees", seeds=PROTOCOL_SEEDS, chains: int = 64,
                  num_warmup: int = 512, num_samples: int = 2048,

@@ -491,7 +491,13 @@ def chees_race(
     jumps = jnp.diff(pos, axis=1)  # (k, probe-1, chains, dim)
     esjd = jnp.mean(jumps * jumps, axis=(1, 2))  # (k, dim)
     var_d = jnp.var(pos.reshape(-1, pos.shape[-1]), axis=0) + 1e-12  # (dim,)
-    norm_esjd = jnp.min(esjd / var_d[None, :], axis=1)  # (k,) slowest dim
+    ratio = esjd / var_d[None, :]
+    if free is not None:
+        # pinned dims never move: their 0/eps ratio would pin the min at
+        # ~0 for every candidate and void the race
+        ratio = jnp.where(jnp.asarray(free, ratio.dtype)[None, :] > 0,
+                          ratio, jnp.inf)
+    norm_esjd = jnp.min(ratio, axis=1)  # (k,) slowest FREE dim
     score = norm_esjd / cost
 
     # probe min-ESS per candidate (diagnostics only — probe-length ESS

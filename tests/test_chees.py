@@ -269,3 +269,33 @@ class TestChEESRace:
         s = np.asarray(res.positions).reshape(-1, 2)
         assert np.allclose(s.mean(axis=0), MEAN, atol=0.1)
         assert np.allclose(np.cov(s.T), COV, atol=0.3)
+
+    def test_race_with_free_mask_scores_free_dims(self):
+        # pinned dims (zero jumps / zero variance) must not pin every
+        # candidate's slow-dim score at 0 and void the race
+        from gogp_tpu.infer.chees import chees_race
+
+        free = jnp.array([1.0, 0.0])
+        from gogp_tpu.infer import adapt
+        from gogp_tpu.infer.chees import (
+            chees_init,
+            chees_warm_chunk,
+            finalize_chees_warmup,
+        )
+
+        x0 = jnp.tile(jnp.array([0.0, 5.0]), (16, 1))
+        state = chees_init(mvn_logp, x0, jax.random.PRNGKey(8), 0.1, 1.0, free)
+        sched = adapt.build_schedule(200)
+        state = jax.jit(
+            lambda s: chees_warm_chunk(
+                mvn_logp, s, sched.update_mass, sched.window_end, 32,
+                free=free,
+            )
+        )(state)
+        state = finalize_chees_warmup(state)
+        win, info = chees_race(mvn_logp, state, 4, 64, 32, free=free)
+        score = np.asarray(info["score"])
+        assert np.all(np.isfinite(score)) and score.max() > 0.0
+        assert float(np.asarray(info["norm_esjd"]).max()) > 0.0
+        # pinned coordinate untouched through the whole race
+        assert np.all(np.asarray(win.positions)[:, 1] == 5.0)

@@ -90,3 +90,51 @@ def test_protocol_seed_crash_scores_zero(monkeypatch):
     assert out["ess_per_sec_median"] == 10.0
     assert out["n_converged"] == 2
     json.dumps(out)
+
+
+def test_qualifier_ranks_converged_first(monkeypatch):
+    monkeypatch.setattr(
+        ess_nuts, "run_chees_bench",
+        lambda *a, **k: _stub_out(15.0, 10.0, 1.004))
+    monkeypatch.setattr(
+        ess_nuts, "run_ghmc_bench",
+        lambda *a, **k: _stub_out(None, None, 1.05, "gate"))
+    monkeypatch.setattr(
+        ess_nuts, "run_pt_chees_bench",
+        lambda *a, **k: _stub_out(None, None, 1.02, "gate"))
+    q = ess_nuts.qualify_engine(quiet=True)
+    assert q["winner"]["engine"] == "chees"
+    assert q["winner_converged"]
+    assert len(q["rows"]) == 3
+
+
+def test_qualifier_falls_back_to_lowest_rhat(monkeypatch):
+    monkeypatch.setattr(
+        ess_nuts, "run_chees_bench",
+        lambda *a, **k: _stub_out(None, None, 1.08, "gate"))
+    monkeypatch.setattr(
+        ess_nuts, "run_ghmc_bench",
+        lambda *a, **k: _stub_out(None, None, 1.15, "gate"))
+    monkeypatch.setattr(
+        ess_nuts, "run_pt_chees_bench",
+        lambda *a, **k: _stub_out(None, None, 1.02, "gate"))
+    q = ess_nuts.qualify_engine(quiet=True)
+    assert q["winner"]["engine"] == "pt-chees"
+    assert not q["winner_converged"]
+
+
+def test_qualifier_survives_engine_crash(monkeypatch):
+    def boom(*a, **k):
+        raise RuntimeError("worker crashed")
+
+    monkeypatch.setattr(ess_nuts, "run_chees_bench", boom)
+    monkeypatch.setattr(
+        ess_nuts, "run_ghmc_bench",
+        lambda *a, **k: _stub_out(5.0, 4.0, 1.001))
+    monkeypatch.setattr(
+        ess_nuts, "run_pt_chees_bench",
+        lambda *a, **k: _stub_out(2.0, 1.5, 1.003))
+    q = ess_nuts.qualify_engine(quiet=True)
+    assert q["winner"]["engine"] == "ghmc"
+    rows = {r["engine"]: r for r in q["rows"]}
+    assert "RuntimeError" in rows["chees"]["reason"]

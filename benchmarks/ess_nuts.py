@@ -664,8 +664,10 @@ PROTOCOL_SEEDS = (0, 1, 2, 3, 4)
 QUALIFIER_CONFIGS = (
     {"engine": "chees", "chains": 64, "num_warmup": 512,
      "num_samples": 2048, "max_steps": 64, "race": 4, "race_probe": 128},
+    # chunk 2048 matches the persistent-cache entries from the round-5
+    # recon runs (the sample-chunk program is keyed on chunk size)
     {"engine": "ghmc", "chains": 64, "ghmc_warmup": 2048,
-     "ghmc_samples": 32768, "chunk": 4096},
+     "ghmc_samples": 32768, "chunk": 2048},
     {"engine": "pt-chees", "chains": 64, "num_warmup": 512,
      "num_samples": 2048, "max_steps": 64},
 )

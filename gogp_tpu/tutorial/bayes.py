@@ -85,7 +85,7 @@ def build_logjoint(study, x: np.ndarray, y: np.ndarray):
 
 def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
                      num_warmup: int, chains: int, pops: int = 1,
-                     replicas: int = 8):
+                     replicas: int = 8, race: int = 0):
     key = jax.random.PRNGKey(seed)
     if engine == "chees":
         # population sampler: the chain axis lives inside the state (shared
@@ -101,9 +101,12 @@ def sample_posterior(logp, v0, free, engine: str, seed: int, num_samples: int,
                 num_samples=max(1, num_samples // chains), free=free,
             )
         else:
+            # race > 0: post-warmup trajectory-length selection
+            # (infer.chees.chees_race) — the adaptation-draw variance fix
             run = lambda q, k: infer.run_chees(
                 logp, q, k, num_warmup=num_warmup,
                 num_samples=max(1, num_samples // chains), free=free,
+                race=race, race_probe=min(128, max(32, num_warmup // 4)),
             )
         res = jax.jit(run)(x0, key)
         draws = np.asarray(res.positions).reshape(-1, v0.shape[0])
@@ -214,12 +217,25 @@ def main(argv=None):
     ap.add_argument("--pops", type=int, default=1,
                     help="with --engine chees: independent populations of "
                     "chains/pops chains, each adapting its own kernel")
+    ap.add_argument("--race", type=int, default=0,
+                    help="with --engine chees (pops=1): K-candidate "
+                    "post-warmup trajectory race (0 = off)")
     ap.add_argument("-n", action="store_true", help="do not normalize outputs")
     ap.add_argument("--grid", type=int, default=50, help="forecast grid points")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force the CPU backend (same contract as the "
+                    "evaluate CLI); JAX_PLATFORMS=cpu in the env works too")
     ap.add_argument("mode", nargs="?", default=None, help="'selfcheck' for embedded data")
     args = ap.parse_args(argv)
 
-    jax.config.update("jax_platforms", "cpu") if jax.default_backend() == "cpu" else None
+    # Force CPU BEFORE any backend probe: the old jax.default_backend()
+    # check initialized the default (TPU-tunnel) platform first, which
+    # hangs forever when the tunnel is down — even with JAX_PLATFORMS=cpu
+    # in the env, because the site config re-forces the tunnel platform.
+    import os
+
+    if args.platform == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     mod, study, data = get_study(args.study)
     if args.mode == "selfcheck":
         x, y = tio.load_csv(data)
@@ -234,7 +250,7 @@ def main(argv=None):
     tio.progress(f"sampling ({args.engine})...")
     draws = sample_posterior(
         logp, v0, free, args.engine, args.seed, args.samples, args.warmup,
-        args.chains, args.pops, args.replicas
+        args.chains, args.pops, args.replicas, args.race
     )
     tio.progress("forecasting...")
     lo, hi = x[:, 0].min(), x[:, 0].max()

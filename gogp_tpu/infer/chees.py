@@ -429,9 +429,9 @@ def chees_race(
     with idle throughput (samples/s keeps scaling past 256 chains) — to
     fix the variance by racing: replicate the warmed population once per
     candidate trajectory length, run all K populations lockstep for a
-    short probe phase, score each by estimated ESS per leapfrog step
-    (walltime on a lockstep chip is proportional to gradient evaluations),
-    and hand the sampling budget to the argmax.
+    short probe phase, score each by slow-dim normalized ESJD per leapfrog
+    step (walltime on a lockstep chip is proportional to gradient
+    evaluations), and hand the sampling budget to the argmax.
 
     The probe populations use the frozen kernel (no adaptation), distinct
     fold_in rngs, and identical halton jitter indices, so the per-

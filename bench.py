@@ -131,7 +131,45 @@ def reference_algorithm_lml_grad(gp, x, y):
     return fn
 
 
+def _relay_preflight() -> str | None:
+    """Fail fast instead of hanging when the loopback TPU relay is dead.
+
+    Under the axon loopback relay (JAX_PLATFORMS=axon +
+    PALLAS_AXON_POOL_IPS=127.0.0.1), ``jax.devices()`` blocks FOREVER if
+    the relay process has died (observed round 5: the relay dropped
+    mid-round and every backend init hung).  If the env says loopback
+    relay and none of the relay ports accept a connection, return an
+    error string; the caller prints the JSON artifact with the error
+    rather than stalling the driver pipeline.
+    """
+    if os.environ.get("JAX_PLATFORMS") != "axon":
+        return None
+    if os.environ.get("PALLAS_AXON_POOL_IPS") != "127.0.0.1":
+        return None
+    import socket
+
+    ports = [8082, 8083, 8087, 8092, 8093, 8097,
+             8102, 8103, 8107, 8112, 8113, 8117]
+    for p in ports:
+        try:
+            with socket.create_connection(("127.0.0.1", p), timeout=2.0):
+                return None
+        except OSError:
+            continue
+    return ("TPU loopback relay is down: no relay port accepts "
+            "connections; jax.devices() would hang indefinitely")
+
+
 def main():
+    err = _relay_preflight()
+    if err is not None:
+        print(json.dumps({
+            "metric": f"lml_grad_n{N}_walltime", "value": None,
+            "unit": "ms", "vs_baseline": None, "error": err,
+            "ess_per_sec": None,
+        }))
+        return 0
+
     platform = jax.devices()[0].platform
     dtype = jnp.float32
     gp, x, y, v = build_problem(N, dtype)

@@ -730,7 +730,8 @@ def run_protocol(engine: str = "chees", seeds=PROTOCOL_SEEDS, chains: int = 64,
                  num_warmup: int = 512, num_samples: int = 2048,
                  max_steps: int = 64, race: int = 0, race_probe: int = 128,
                  ghmc_warmup: int = 2048, ghmc_samples: int = 16384,
-                 chunk: int = 2048, quiet: bool = False) -> dict:
+                 chunk: int = 2048, max_extensions: int = 1,
+                 quiet: bool = False) -> dict:
     """Seed-median ESS/s protocol (VERDICT r4 #1): the honest north star.
 
     Runs ``engine`` once per seed at a FIXED config, ESS estimated from
@@ -741,34 +742,61 @@ def run_protocol(engine: str = "chees", seeds=PROTOCOL_SEEDS, chains: int = 64,
     ESS/s.  Medians over >= 5 seeds are what r5+ rounds compare; a single
     pinned seed measures the luck of one adaptation draw, not the engine
     (the r4 number was the best draw of a 2x4 sweep).
+
+    Adaptive extension: a seed that fails ONLY the R-hat gate is re-run
+    with its draw budget doubled, up to ``max_extensions`` times — the
+    practitioner's "run longer until converged", with the gate itself
+    untouched.  ESS/s is a rate, so a longer converged run measures the
+    same quantity; the retried run is fully deterministic in (seed,
+    draws).  The final draw count and extension count are recorded
+    per-seed.  Crashes (tunnel hiccups) do NOT extend — they score 0
+    immediately with the error recorded.  Sampling is chunk-compiled in
+    every engine runner, so extensions reuse the cached program.
     """
     if engine not in ("chees", "ghmc", "nuts", "pt-chees"):
         raise ValueError(f"unknown engine {engine!r}")
+
+    def run_one(s: int, draws: int) -> dict:
+        if engine == "chees":
+            return run_chees_bench(chains, num_warmup, draws, s,
+                                   max_steps, 1, race, race_probe)
+        if engine == "ghmc":
+            return run_ghmc_bench(chains, ghmc_warmup, draws, s, chunk)
+        if engine == "nuts":
+            return run(chains, num_warmup, draws, s)
+        return run_pt_chees_bench(max(chains // 4, 4), 8, num_warmup,
+                                  draws, s, max_steps=max_steps)
+
     per_seed = []
     for s in seeds:
-        try:
-            if engine == "chees":
-                out = run_chees_bench(chains, num_warmup, num_samples, s,
-                                      max_steps, 1, race, race_probe)
-            elif engine == "ghmc":
-                out = run_ghmc_bench(chains, ghmc_warmup, ghmc_samples, s, chunk)
-            elif engine == "nuts":
-                out = run(chains, num_warmup, num_samples, s)
-            else:
-                out = run_pt_chees_bench(max(chains // 4, 4), 8, num_warmup,
-                                         num_samples, s, max_steps=max_steps)
-        except Exception as e:  # noqa: BLE001 — one crashed seed (tunnel
-            # hiccup, worker restart) must not void the whole artifact; it
-            # scores 0 like a non-converged seed, with the error recorded
-            row = {
-                "seed": s, "ess_per_sec": None, "ess_per_sec_e2e": None,
-                "min_ess": None, "max_rhat": None, "walltime_s": None,
-                "warm_total_s": None,
-                "reason": f"{type(e).__name__}: {e}",
-            }
-            per_seed.append(row)
+        draws = ghmc_samples if engine == "ghmc" else num_samples
+        extensions = 0
+        out = None
+        err_row = None
+        while True:
+            try:
+                out = run_one(s, draws)
+            except Exception as e:  # noqa: BLE001 — one crashed seed
+                # (tunnel hiccup, worker restart) must not void the whole
+                # artifact; it scores 0 like a non-converged seed, with
+                # the error recorded, and is never extended
+                err_row = {
+                    "seed": s, "ess_per_sec": None, "ess_per_sec_e2e": None,
+                    "min_ess": None, "max_rhat": None, "walltime_s": None,
+                    "warm_total_s": None, "samples_per_chain": draws,
+                    "extensions": extensions,
+                    "reason": f"{type(e).__name__}: {e}",
+                }
+                break
+            gated_out = out["value"] is None and "value_reason" in out
+            if not gated_out or extensions >= max_extensions:
+                break
+            extensions += 1
+            draws *= 2
+        if err_row is not None:
+            per_seed.append(err_row)
             if not quiet:
-                print(json.dumps({"protocol_seed": row}), flush=True)
+                print(json.dumps({"protocol_seed": err_row}), flush=True)
             continue
         row = {
             "seed": s,
@@ -780,6 +808,8 @@ def run_protocol(engine: str = "chees", seeds=PROTOCOL_SEEDS, chains: int = 64,
             "max_rhat_raw": out.get("max_rhat_raw"),
             "walltime_s": out["walltime_s"],
             "warm_total_s": out["warm_total_s"],
+            "samples_per_chain": draws,
+            "extensions": extensions,
         }
         if out.get("value_reason"):
             row["reason"] = out["value_reason"]

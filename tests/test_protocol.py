@@ -56,6 +56,63 @@ def test_protocol_median_and_convergence_count(monkeypatch):
     json.dumps(out)  # artifact must be JSON-serializable
 
 
+def test_protocol_extension_converges_marginal_seed(monkeypatch):
+    """A seed failing only the R-hat gate is re-run with doubled draws
+    (bounded); the recorded ESS/s comes from the converged run."""
+    calls = []
+
+    def fake_chees(chains, warmup, samples, seed, max_steps, pops, race, probe):
+        calls.append((seed, samples))
+        if seed == 0 and samples < 4096:
+            return _stub_out(
+                None, None, 1.0104,
+                "max bulk split-R-hat 1.0104 > 1.01: not converged")
+        return _stub_out(25.0, 20.0, 1.004)
+
+    monkeypatch.setattr(ess_nuts, "run_chees_bench", fake_chees)
+    out = ess_nuts.run_protocol("chees", seeds=(0, 1), num_samples=2048,
+                                quiet=True)
+    rows = {r["seed"]: r for r in out["per_seed"]}
+    assert rows[0]["ess_per_sec"] == 25.0
+    assert rows[0]["extensions"] == 1
+    assert rows[0]["samples_per_chain"] == 4096
+    assert rows[1]["extensions"] == 0
+    assert rows[1]["samples_per_chain"] == 2048
+    assert (0, 2048) in calls and (0, 4096) in calls
+    json.dumps(out)
+
+
+def test_protocol_extension_bounded(monkeypatch):
+    calls = []
+
+    def fake_chees(chains, warmup, samples, seed, max_steps, pops, race, probe):
+        calls.append(samples)
+        return _stub_out(None, None, 1.2, "max bulk split-R-hat 1.2 > 1.01")
+
+    monkeypatch.setattr(ess_nuts, "run_chees_bench", fake_chees)
+    out = ess_nuts.run_protocol("chees", seeds=(7,), num_samples=1024,
+                                max_extensions=2, quiet=True)
+    assert calls == [1024, 2048, 4096]
+    row = out["per_seed"][0]
+    assert row["ess_per_sec"] is None
+    assert row["extensions"] == 2
+    assert out["ess_per_sec_median"] == 0.0
+
+
+def test_protocol_crash_never_extends(monkeypatch):
+    calls = []
+
+    def fake_chees(chains, warmup, samples, seed, max_steps, pops, race, probe):
+        calls.append(samples)
+        raise RuntimeError("TPU worker restarted")
+
+    monkeypatch.setattr(ess_nuts, "run_chees_bench", fake_chees)
+    out = ess_nuts.run_protocol("chees", seeds=(0,), num_samples=2048,
+                                quiet=True)
+    assert calls == [2048]
+    assert "RuntimeError" in out["per_seed"][0]["reason"]
+
+
 def test_protocol_unknown_engine():
     with pytest.raises(ValueError, match="unknown engine"):
         ess_nuts.run_protocol("bogus", seeds=(0,))
